@@ -1,0 +1,82 @@
+"""CG solver tests: dense oracle, Poisson manufactured-solution gate,
+converged-reason semantics (reference src/main_ksp.cpp:103-121)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpusparse import ELL, Grid3D
+from tpusparse.grid.poisson import assemble_poisson, poisson_stencil
+from tpusparse.solve import ConvergedReason, cg
+
+
+def test_cg_dense_spd_oracle():
+    rng = np.random.default_rng(0)
+    n = 40
+    q = rng.standard_normal((n, n))
+    a = q @ q.T + n * np.eye(n)
+    b = rng.standard_normal(n)
+    res = cg(lambda x: jnp.asarray(a) @ x, jnp.asarray(b), rtol=1e-12, maxiter=500)
+    assert res.converged()
+    np.testing.assert_allclose(np.asarray(res.x), np.linalg.solve(a, b), rtol=1e-8)
+
+
+def test_cg_negative_definite():
+    """The assembled Poisson operator is negative definite; CG must handle
+    the sign exactly as PETSc does."""
+    rng = np.random.default_rng(1)
+    n = 30
+    q = rng.standard_normal((n, n))
+    a = -(q @ q.T + n * np.eye(n))
+    b = rng.standard_normal(n)
+    res = cg(lambda x: jnp.asarray(a) @ x, jnp.asarray(b), rtol=1e-12, maxiter=500)
+    assert res.converged()
+    np.testing.assert_allclose(np.asarray(res.x), np.linalg.solve(a, b), rtol=1e-8)
+
+
+@pytest.mark.parametrize("fmt", ["stencil", "ell"])
+def test_cg_poisson_manufactured(fmt):
+    """Unpreconditioned CG on 24^3 pinned Poisson: converge and reproduce the
+    manufactured solution to O(h^2) (the reference's Linf gate,
+    src/main_ksp.cpp:120-129)."""
+    g = Grid3D(24, 24, 24)
+    if fmt == "stencil":
+        op, b, exact = poisson_stencil(g)
+        a_mv = op.mv
+    else:
+        a, bh, exacth = assemble_poisson(g)
+        op = ELL.from_csr(a, width=8)
+        a_mv = op.mv
+        b, exact = jnp.asarray(bh), jnp.asarray(exacth)
+
+    solve = jax.jit(lambda b: cg(a_mv, b, rtol=1e-10, maxiter=5000))
+    res = solve(b)
+    assert res.converged(), int(res.reason)
+    linf = float(jnp.abs(res.x - exact).max())
+    # discretization error at h=1/24: ~ pi^2/3 * h^2 ~ 6e-3
+    assert linf < 2e-2, linf
+    # residual actually small
+    assert float(res.resnorm) <= 1e-10 * float(res.bnorm)
+
+
+def test_cg_maxiter_diverged_its():
+    g = Grid3D(16, 16, 16)
+    op, b, _ = poisson_stencil(g)
+    res = cg(op.mv, b, rtol=1e-12, maxiter=3)
+    assert int(res.reason) == ConvergedReason.DIVERGED_ITS
+    assert int(res.iters) == 3
+
+
+def test_cg_nan_detected():
+    a = jnp.array([[1.0, 0.0], [0.0, jnp.nan]])
+    res = cg(lambda x: a @ x, jnp.ones(2), maxiter=10)
+    assert int(res.reason) == ConvergedReason.DIVERGED_NANORINF
+
+
+def test_cg_atol_reason():
+    n = 20
+    a = np.eye(n) * 2.0
+    b = np.full(n, 1e-30)
+    res = cg(lambda x: jnp.asarray(a) @ x, jnp.asarray(b), rtol=1e-30, atol=1e-12)
+    assert int(res.reason) == ConvergedReason.CONVERGED_ATOL

@@ -1,0 +1,176 @@
+"""Manufactured 3D Poisson problem — parity with the reference's helper.cpp.
+
+Problem (reference ``src/main_ksp.cpp:1-20``, ``src/helper.cpp:14-18``):
+
+    lap u = -12 pi^2 cos(2 pi x) cos(2 pi y) cos(2 pi z)   on [0,1]^3
+    exact u = cos(2 pi x) cos(2 pi y) cos(2 pi z)
+
+discretized with a cell-centered 7-point finite-difference star on an
+Nx x Ny x Nz grid, all-Neumann boundaries realized by *dropping* out-of-domain
+stencil entries and absorbing them into the diagonal
+(``src/helper.cpp:229-233``), and the resulting singular system pinned at
+cell 0 via a MatZeroRowsColumns-equivalent (``src/helper.cpp:250-279``).
+
+Note the assembled operator is symmetric *negative* definite (diag < 0,
+off-diag > 0), exactly as the reference assembles it; the CG solver handles
+the sign symmetrically.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tpusparse.grid.grid3d import Grid3D
+from tpusparse.sparse.csr import HostCSR
+
+# constants from reference src/helper.cpp:17-18
+C1 = 2.0 * np.pi
+C2 = -3.0 * C1 * C1
+
+
+def exact_field(grid: Grid3D, dtype=np.float64) -> np.ndarray:
+    """u(x,y,z) = cos(2 pi x) cos(2 pi y) cos(2 pi z) at cell centers.
+
+    Parity: ``generateExt`` (src/helper.cpp:120-157). Shape (nz, ny, nx).
+    """
+    cx = np.cos(C1 * grid.cell_centers("x", dtype))
+    cy = np.cos(C1 * grid.cell_centers("y", dtype))
+    cz = np.cos(C1 * grid.cell_centers("z", dtype))
+    return (cz[:, None, None] * cy[None, :, None] * cx[None, None, :]).astype(dtype)
+
+
+def rhs_field(grid: Grid3D, dtype=np.float64) -> np.ndarray:
+    """f = -12 pi^2 * exact. Parity: ``generateRHS`` (src/helper.cpp:78-116)."""
+    return (dtype(C2) * exact_field(grid, dtype)).astype(dtype)
+
+
+def _neighbor_masks_and_coeffs(grid: Grid3D, dtype):
+    """Validity masks and coefficients for the 6 neighbors, in ascending
+    column-offset order: k-1, j-1, i-1, i+1, j+1, k+1 (matches the sorted
+    column order PETSc stores after assembly)."""
+    nz, ny, nx = grid.shape
+    ax = dtype(1.0 / (grid.dx * grid.dx))
+    ay = dtype(1.0 / (grid.dy * grid.dy))
+    az = dtype(1.0 / (grid.dz * grid.dz))
+
+    K, J, I = np.meshgrid(
+        np.arange(nz), np.arange(ny), np.arange(nx), indexing="ij"
+    )
+    # (name, valid mask (nz,ny,nx), flat col offset, coefficient)
+    return [
+        ("k-1", K > 0, -ny * nx, az),
+        ("j-1", J > 0, -nx, ay),
+        ("i-1", I > 0, -1, ax),
+        ("i+1", I < nx - 1, +1, ax),
+        ("j+1", J < ny - 1, +nx, ay),
+        ("k+1", K < nz - 1, +ny * nx, az),
+    ]
+
+
+def assemble_poisson(
+    grid: Grid3D, pin: bool = True, dtype=np.float64
+):
+    """Assemble the 7-point Neumann Laplacian + RHS + exact solution.
+
+    Returns ``(A: HostCSR, b: (n,) ndarray, exact: (n,) ndarray)``, with the
+    reference-point pin applied to both A and b when ``pin`` (the default, as
+    the reference always pins: ``createSystem``, src/helper.cpp:54).
+
+    Parity: ``generateA`` (src/helper.cpp:161-246) + ``setRefPoint``
+    (src/helper.cpp:250-279).
+    """
+    n = grid.n
+    nbrs = _neighbor_masks_and_coeffs(grid, dtype)
+
+    rows = np.arange(n, dtype=np.int64)
+    # per-row entries in sorted column order: 3 lower nbrs, diag, 3 upper nbrs
+    w = 7
+    cols = np.zeros((n, w), dtype=np.int64)
+    vals = np.zeros((n, w), dtype=dtype)
+    mask = np.zeros((n, w), dtype=bool)
+
+    diag = np.zeros(n, dtype=dtype)
+    slots = [0, 1, 2, 4, 5, 6]  # slot 3 = diagonal
+    for (name, valid, off, coef), s in zip(nbrs, slots):
+        v = valid.reshape(-1)
+        cols[:, s] = rows + off
+        vals[:, s] = np.where(v, coef, dtype(0))
+        mask[:, s] = v
+        # all-Neumann: diagonal = -(sum of coefficients of *existing* nbrs)
+        diag -= np.where(v, coef, dtype(0))
+    cols[:, 3] = rows
+    vals[:, 3] = diag
+    mask[:, 3] = True
+
+    exact = exact_field(grid, dtype).reshape(-1)
+    b = rhs_field(grid, dtype).reshape(-1)
+
+    scale = dtype(diag.sum() / n)  # mean of diagonal (src/helper.cpp:264-272)
+    if pin:
+        # MatZeroRowsColumns(A, {0}, scale, x=exact, b=rhs) semantics
+        # (src/helper.cpp:274):
+        #   b[i] -= A[i,0] * exact[0]  for i != 0 with a column entry at 0
+        #   b[0]  = scale * exact[0]
+        #   row 0 and column 0 zeroed; A[0,0] = scale
+        col0 = cols == 0
+        b -= (np.where(col0 & mask, vals, dtype(0)).sum(axis=1)) * exact[0]
+        mask[0, :] = False
+        vals[0, :] = dtype(0)
+        # zero the column entries pointing at 0 (drop from pattern)
+        mask &= ~col0
+        vals = np.where(col0, dtype(0), vals)
+        # restore pinned diagonal
+        cols[0, 3] = 0
+        vals[0, 3] = scale
+        mask[0, 3] = True
+        b[0] = scale * exact[0]
+
+    row_nnz = mask.sum(axis=1).astype(np.int64)
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(row_nnz, out=indptr[1:])
+    a = HostCSR(
+        indptr=indptr,
+        indices=cols[mask].astype(np.int32),
+        data=vals[mask],
+        shape=(n, n),
+    )
+    return a, b, exact
+
+
+def poisson_stencil(grid: Grid3D, pin: bool = True, dtype=np.float64):
+    """Build the same operator as a gather-free StarStencil3D plus (b, exact)
+    as (nz, ny, nx) fields. Numerically identical to ``assemble_poisson``."""
+    import jax.numpy as jnp
+
+    from tpusparse.sparse.stencil import StarStencil3D
+
+    nbrs = _neighbor_masks_and_coeffs(grid, dtype)
+    diag = np.zeros(grid.shape, dtype=dtype)
+    coefs = {}
+    for name, valid, _off, coef in nbrs:
+        diag -= np.where(valid, coef, dtype(0))
+        coefs[name] = coef
+
+    exact = exact_field(grid, dtype)
+    b = rhs_field(grid, dtype).copy()
+    scale = dtype(diag.sum() / grid.n)
+    if pin:
+        e0 = exact[0, 0, 0]
+        # neighbors of cell 0 lose their column-0 entry; move it to the RHS
+        if grid.nx > 1:
+            b[0, 0, 1] -= coefs["i-1"] * e0
+        if grid.ny > 1:
+            b[0, 1, 0] -= coefs["j-1"] * e0
+        if grid.nz > 1:
+            b[1, 0, 0] -= coefs["k-1"] * e0
+        diag[0, 0, 0] = scale
+        b[0, 0, 0] = scale * e0
+
+    op = StarStencil3D(
+        diag=jnp.asarray(diag),
+        cx=jnp.asarray(coefs["i-1"]),
+        cy=jnp.asarray(coefs["j-1"]),
+        cz=jnp.asarray(coefs["k-1"]),
+        pinned=bool(pin),
+    )
+    return op, jnp.asarray(b), jnp.asarray(exact)

@@ -1,0 +1,145 @@
+"""Preconditioned conjugate-gradient solver — KSP/CG parity, jit-native.
+
+Parity target: the reference's solver setup (``src/main_ksp.cpp:92-117``):
+KSPCG with atol/rtol/max_it from the options file
+(``configs/PETSc_SolverOptions_GAMG.info:1-4``), a converged-reason API that
+distinguishes rtol/atol convergence from iteration-limit/NaN divergence, and
+iteration-count + final-residual reporting.
+
+TPU-native design: the whole solve is ONE ``lax.while_loop`` inside ``jit`` —
+no per-iteration host round-trips (the reference pays a kernel launch + MPI
+allreduce per dot; here XLA fuses the axpy/dot chains and keeps everything in
+HBM).  The operator and preconditioner are passed as pytrees + apply
+functions, so the same solver body serves stencil, ELL, and sharded operators.
+
+Sign note: the reference assembles a *negative*-definite Laplacian
+(``src/helper.cpp:229-233``).  CG's recurrences are sign-symmetric (alpha and
+beta stay positive when both A and M are definite with matching sign), so we
+solve the system exactly as assembled, like PETSc does.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+class ConvergedReason(enum.IntEnum):
+    """Mirrors PETSc's KSPConvergedReason sign convention (> 0 converged,
+    < 0 diverged) for the codes the reference checks
+    (``src/main_ksp.cpp:109-111``)."""
+
+    CONVERGED_RTOL = 2
+    CONVERGED_ATOL = 3
+    ITERATING = 0
+    DIVERGED_ITS = -3
+    DIVERGED_NANORINF = -9
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["x", "iters", "resnorm", "reason", "bnorm"],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class CGResult:
+    x: jax.Array
+    iters: jax.Array     # int32
+    resnorm: jax.Array   # final true-residual 2-norm
+    reason: jax.Array    # int32, ConvergedReason value
+    bnorm: jax.Array
+
+    def converged(self) -> bool:
+        return int(self.reason) > 0
+
+
+def _dot(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Flattened dot — deterministic XLA reduction (one psum when sharded)."""
+    return jnp.vdot(a.reshape(-1), b.reshape(-1))
+
+
+def cg(
+    a_mv: Callable,
+    b: jax.Array,
+    x0: jax.Array | None = None,
+    *,
+    rtol: float = 1e-5,
+    atol: float = 1e-50,
+    maxiter: int = 10000,
+    m_mv: Callable | None = None,
+) -> CGResult:
+    """Solve A x = b with (preconditioned) CG.
+
+    ``a_mv(x)`` applies the operator; ``m_mv(r)`` applies the preconditioner
+    (defaults to identity).  Convergence: ||r||_2 <= max(rtol*||b||_2, atol)
+    on the *unpreconditioned* residual, checked every iteration (PETSc
+    KSPConvergedDefault semantics with the reference's tolerances).
+
+    Jit-compatible: call under ``jax.jit`` with static rtol/atol/maxiter.
+    """
+    if m_mv is None:
+        m_mv = lambda r: r
+
+    if x0 is None:
+        x0 = jnp.zeros_like(b)  # reference zeroes the initial guess (helper.cpp:48)
+
+    dt = b.dtype
+    bnorm = jnp.sqrt(_dot(b, b)).astype(dt)
+    tol = jnp.maximum(jnp.asarray(rtol, dt) * bnorm, jnp.asarray(atol, dt))
+
+    r0 = b - a_mv(x0)
+    z0 = m_mv(r0)
+    rz0 = _dot(r0, z0)
+    rnorm0 = jnp.sqrt(_dot(r0, r0))
+
+    def classify(rnorm, it):
+        return jnp.where(
+            ~jnp.isfinite(rnorm),
+            jnp.int32(ConvergedReason.DIVERGED_NANORINF),
+            jnp.where(
+                rnorm <= jnp.asarray(atol, dt),
+                jnp.int32(ConvergedReason.CONVERGED_ATOL),
+                jnp.where(
+                    rnorm <= tol,
+                    jnp.int32(ConvergedReason.CONVERGED_RTOL),
+                    jnp.where(
+                        it >= maxiter,
+                        jnp.int32(ConvergedReason.DIVERGED_ITS),
+                        jnp.int32(ConvergedReason.ITERATING),
+                    ),
+                ),
+            ),
+        )
+
+    def cond(state):
+        _x, _r, _z, _p, _rz, rnorm, it = state
+        return classify(rnorm, it) == jnp.int32(ConvergedReason.ITERATING)
+
+    def body(state):
+        x, r, z, p, rz, _rnorm, it = state
+        ap = a_mv(p)
+        alpha = rz / _dot(p, ap)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = m_mv(r)
+        rz_new = _dot(r, z)
+        beta = rz_new / rz
+        p = z + beta * p
+        rnorm = jnp.sqrt(_dot(r, r))
+        return (x, r, z, p, rz_new, rnorm, it + 1)
+
+    state = (x0, r0, z0, z0, rz0, rnorm0, jnp.int32(0))
+    x, r, _z, _p, _rz, rnorm, it = jax.lax.while_loop(cond, body, state)
+
+    return CGResult(
+        x=x,
+        iters=it,
+        resnorm=rnorm,
+        reason=classify(rnorm, it),
+        bnorm=bnorm,
+    )

@@ -1,0 +1,113 @@
+"""7-point star-stencil operator on structured 3D grids — gather-free SpMV.
+
+The reference forces the DMDA-assembled 7-point Laplacian into generic CSR
+(``DMSetMatType(MATAIJ)``, ``src/helper.cpp:39``) because its whole point was
+accelerating PETSc's CSR kernel.  A TPU-first design keeps the structure the
+grid already gives us: the matrix action is six shifted reads plus a
+positionally-varying diagonal,
+
+    y[k,j,i] = diag[k,j,i]*x[k,j,i]
+             + cx*(x[k,j,i-1] + x[k,j,i+1])
+             + cy*(x[k,j-1,i] + x[k,j+1,i])
+             + cz*(x[k-1,j,i] + x[k+1,j,i])
+
+with zero-fill outside the domain (exactly the reference's Neumann-via-dropped
+-entries assembly, ``src/helper.cpp:229-233``).  Each shift is a single
+``lax.pad`` (crop one plane, zero-pad the other), so the entire SpMV is
+elementwise adds/multiplies that XLA fuses into one HBM-bandwidth-bound pass:
+it reads x and diag and writes y — no column indices, no gathers.  For f64 at
+300^3 that is ~3 arrays * 216 MB instead of the ELL form's ~4.3 GB, a ~7x
+memory-traffic reduction on the hottest kernel in the solve.
+
+Reference-point pinning (``MatZeroRowsColumns`` on row/col 0,
+``src/helper.cpp:274``) is carried structurally: the pinned column is removed
+by zeroing x[0,0,0] before the neighbor shifts, and the pinned row is fixed up
+with a single element overwrite after.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _shift(x: jax.Array, axis: int, direction: int) -> jax.Array:
+    """out[..., i, ...] = x[..., i + direction, ...], zero-filled at the edge.
+
+    Implemented as one lax.pad with a negative low/high pad (crop) on one side
+    and a zero pad on the other — no concatenate, no copy chains.
+    """
+    cfg = [(0, 0, 0)] * x.ndim
+    if direction == 1:
+        cfg[axis] = (-1, 1, 0)   # drop first plane, zero-pad at the end
+    elif direction == -1:
+        cfg[axis] = (1, -1, 0)   # zero-pad at the start, drop last plane
+    else:
+        raise ValueError(f"direction must be +-1, got {direction}")
+    return lax.pad(x, jnp.zeros((), x.dtype), cfg)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["diag", "cx", "cy", "cz"],
+    meta_fields=["pinned"],
+)
+@dataclasses.dataclass
+class StarStencil3D:
+    """Symmetric 7-point star stencil with constant off-diagonal coefficients
+    per axis and an arbitrary (nz, ny, nx) diagonal field.
+
+    If ``pinned`` is true, row/column 0 (natural ordering) are zeroed except
+    the diagonal — ``diag[0,0,0]`` holds the pinned diagonal value (the
+    reference's ``scale``, ``src/helper.cpp:264-274``).
+    """
+
+    diag: jax.Array          # (nz, ny, nx)
+    cx: jax.Array            # scalar
+    cy: jax.Array            # scalar
+    cz: jax.Array            # scalar
+    pinned: bool
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        n = self.diag.size
+        return (n, n)
+
+    @property
+    def grid_shape(self) -> tuple[int, int, int]:
+        return self.diag.shape
+
+    @property
+    def dtype(self):
+        return self.diag.dtype
+
+    def mv(self, x: jax.Array) -> jax.Array:
+        """y = A @ x on the 3D field view (nz, ny, nx)."""
+        if x.shape != self.diag.shape:
+            raise ValueError(f"x shape {x.shape} != grid {self.diag.shape}")
+        if self.pinned:
+            x000 = x[0, 0, 0]
+            xn = x.at[0, 0, 0].set(jnp.zeros((), x.dtype))
+        else:
+            xn = x
+        y = self.diag * x
+        y += self.cx * (_shift(xn, 2, 1) + _shift(xn, 2, -1))
+        y += self.cy * (_shift(xn, 1, 1) + _shift(xn, 1, -1))
+        y += self.cz * (_shift(xn, 0, 1) + _shift(xn, 0, -1))
+        if self.pinned:
+            y = y.at[0, 0, 0].set(self.diag[0, 0, 0] * x000)
+        return y
+
+    def mv_flat(self, x: jax.Array) -> jax.Array:
+        """y = A @ x on the 1D natural-ordering vector view."""
+        return self.mv(x.reshape(self.diag.shape)).reshape(-1)
+
+    def diagonal(self) -> jax.Array:
+        return self.diag.reshape(-1)
+
+    def __matmul__(self, x):
+        return self.mv(x) if x.ndim == 3 else self.mv_flat(x)
