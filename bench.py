@@ -1,0 +1,43 @@
+#!/usr/bin/env python
+"""Headline benchmark: 300^3 Poisson CG+GAMG time-to-rtol-1e-8 on one chip.
+
+Baseline: the reference's best single node (16 Opteron cores + K20x,
+CRAY_CUDA_PROXY) solves the same system in ~25-35 s of KSPSolve time
+(BASELINE.md); we take 30 s as the comparison point.  ``vs_baseline`` is the
+speedup factor (baseline_time / our_time, > 1 means faster).
+
+Prints exactly one JSON line on stdout.
+"""
+
+import json
+import sys
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/tpusparse_xla")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+BASELINE_SOLVE_S = 30.0  # reference best-node KSPSolve, BASELINE.md table
+N = 300
+RTOL = 1e-8   # BASELINE.json gate (reference config runs 1e-14; see report)
+
+
+def main() -> None:
+    from tpusparse.bench.driver import solve_poisson
+
+    rep = solve_poisson(N, rtol=RTOL, atol=1e-12, pc="gamg")
+    result = {
+        "metric": f"poisson{N}_cg_gamg_solve_s",
+        "value": round(rep.t_solve, 6),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_SOLVE_S / rep.t_solve, 3),
+    }
+    # context lines on stderr (never pollute the stdout contract)
+    print(rep.reference_block(), file=sys.stderr)
+    print(rep.json_sidecar(), file=sys.stderr)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -5,7 +5,11 @@ per the reference's gap of having no test suite at all (SURVEY.md section 4).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU even when the ambient env selects the TPU platform (e.g. axon):
+# the suite must run hermetically and exercise the 8-device virtual mesh.
+# NOTE: the env var alone is NOT enough here — the ambient TPU plugin wins
+# over JAX_PLATFORMS, so we also set jax.config below.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,4 +18,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# persistent compile cache: the suite re-runs constantly (driver + CI) and
+# XLA:CPU compilation of the jitted solves dominates wall time on this host
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_pytest")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

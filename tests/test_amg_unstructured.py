@@ -1,0 +1,101 @@
+"""Unstructured (general-matrix) AMG path tests."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from tpusparse import Grid3D, HostCSR
+from tpusparse.amg import AMGParams, vcycle
+from tpusparse.amg.unstructured import (
+    gamg_setup_unstructured,
+    greedy_aggregate,
+    strength_graph,
+    tentative_prolongator,
+)
+from tpusparse.grid.poisson import assemble_poisson
+from tpusparse.solve import cg
+
+
+def _lap1d(n):
+    """1D Dirichlet Laplacian (SPD, unstructured-path exercise)."""
+    return HostCSR.from_scipy(
+        sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(n, n), format="csr")
+    )
+
+
+def test_strength_threshold_filters():
+    a = HostCSR.from_scipy(
+        sp.csr_matrix(
+            np.array([[4.0, -0.1, -2.0], [-0.1, 4.0, 0.0], [-2.0, 0.0, 4.0]])
+        )
+    )
+    keep_all = strength_graph(a, 0.0)
+    assert keep_all.sum() == 4  # all off-diagonal entries
+    strong = strength_graph(a, 0.2)
+    assert strong.sum() == 2  # only the +-2.0 pair survives
+
+
+def test_aggregates_cover_and_are_connected():
+    a = _lap1d(50)
+    agg = greedy_aggregate(a)
+    assert agg.min() == 0
+    n_agg = agg.max() + 1
+    assert 5 <= n_agg <= 25  # ~3x coarsening on a path graph
+    # every aggregate non-empty
+    assert np.all(np.bincount(agg, minlength=n_agg) > 0)
+
+
+def test_tentative_columns_normalized():
+    agg = np.array([0, 0, 1, 1, 1, 2])
+    t = tentative_prolongator(agg)
+    col_norms = np.sqrt(np.asarray(t.power(2).sum(axis=0)).ravel())
+    np.testing.assert_allclose(col_norms, 1.0, rtol=1e-14)
+
+
+@pytest.mark.parametrize("problem", ["lap1d", "poisson3d"])
+def test_unstructured_cg_amg_converges(problem):
+    if problem == "lap1d":
+        a = _lap1d(400)
+        b = np.ones(400)
+    else:
+        g = Grid3D(12, 12, 12)
+        a, b, _ = assemble_poisson(g)
+    hier = gamg_setup_unstructured(a, AMGParams(coarse_eq_limit=25))
+    op0 = hier.levels[0].op
+    res = cg(
+        op0.mv, jnp.asarray(b), rtol=1e-10, maxiter=100,
+        m_mv=lambda r: vcycle(hier, r),
+    )
+    assert res.converged(), int(res.reason)
+    assert int(res.iters) < 40, int(res.iters)
+    # solution check vs scipy direct solve
+    x_ref = sp.linalg.spsolve(a.to_scipy().tocsc(), np.asarray(b))
+    np.testing.assert_allclose(
+        np.asarray(res.x), x_ref, rtol=1e-6, atol=1e-8
+    )
+
+
+def test_unstructured_matches_structured_iterations():
+    """On the structured Poisson problem both paths should behave similarly
+    (same algorithm family), even though aggregates differ."""
+    from tpusparse.amg import gamg_setup
+    from tpusparse.grid.poisson import poisson_stencil
+
+    g = Grid3D(16, 16, 16)
+    a, b, _ = assemble_poisson(g)
+    op, b3, _ = poisson_stencil(g)
+
+    hs = gamg_setup(op, AMGParams(coarse_eq_limit=30))
+    rs = cg(op.mv, b3, rtol=1e-8, maxiter=200, m_mv=lambda r: vcycle(hs, r))
+
+    hu = gamg_setup_unstructured(a, AMGParams(coarse_eq_limit=30))
+    opu = hu.levels[0].op
+    ru = cg(
+        opu.mv, jnp.asarray(b), rtol=1e-8, maxiter=200,
+        m_mv=lambda r: vcycle(hu, r),
+    )
+    assert rs.converged() and ru.converged()
+    assert abs(int(rs.iters) - int(ru.iters)) <= 15, (
+        int(rs.iters), int(ru.iters),
+    )

@@ -1,0 +1,47 @@
+"""CLI driver — parity with the reference's benchmark binary.
+
+Usage (mirrors ``aprun -n N bin/<exe> -da_grid_x 300 -config file.info``,
+``runs/single-node-scaling.pbs:56-67``):
+
+    python -m tpusparse -da_grid_x 300 -da_grid_y 300 -da_grid_z 300 \
+        -config configs/SolverOptions_GAMG.info
+
+Prints the reference's output block (``src/main_ksp.cpp:124-129``) plus a
+JSON sidecar line prefixed with ``JSON:`` (SURVEY.md section 5.5: the text
+format was the metrics API; we keep it AND emit structured data).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/tpusparse_xla")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+def main(argv: list[str] | None = None) -> int:
+    from tpusparse.bench.driver import solve_poisson
+    from tpusparse.config import load_options
+
+    opts = load_options(argv if argv is not None else sys.argv[1:])
+    rep = solve_poisson(
+        opts.da_grid_x,
+        opts.da_grid_y,
+        opts.da_grid_z,
+        rtol=opts.ksp_rtol,
+        atol=opts.ksp_atol,
+        maxiter=opts.ksp_max_it,
+        pc=opts.pc_type,
+        amg_params=opts.amg_params() if opts.pc_type == "gamg" else None,
+        n_devices=opts.devices,
+    )
+    print(rep.reference_block())
+    print("JSON:", rep.json_sidecar())
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,201 @@
+"""GAMG-style AMG hierarchy: setup + V-cycle apply.
+
+Parity target (``configs/PETSc_SolverOptions_GAMG.info:6-21``):
+smoothed aggregation (``agg``), one prolongator-smoothing pass
+(``nsmooths 1``), threshold 0.0, level smoother Richardson(1) with
+(block-)Jacobi, coarse solve preonly + (block-)Jacobi.  With one process per
+block, bjacobi+jacobi degenerates to plain Jacobi — the same degeneracy the
+reference hits on one rank.
+
+The V-cycle is built from matrix-free structured transfers
+(``transfer.py``) over stencil operators (``stencil.py``/``varstencil.py``):
+a full application is nothing but elementwise passes and reshapes — no
+gathers, no scalar loops — and the whole hierarchy is one pytree, so
+``cg(..., m_mv=lambda r: vcycle(hier, r))`` jits into a single XLA program.
+Level count is static at trace time (Python recursion unrolls).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpusparse.amg.galerkin import galerkin_coarse
+from tpusparse.amg.transfer import StructuredTransfer, coarse_shape
+from tpusparse.sparse.stencil import StarStencil3D
+from tpusparse.sparse.varstencil import VarStencil27
+
+
+@dataclasses.dataclass(frozen=True)
+class AMGParams:
+    """Setup knobs, named after their GAMG counterparts where they exist."""
+
+    nsmooths: int = 1            # -pc_gamg_agg_nsmooths (only 0/1 supported)
+    threshold: float = 0.0       # -pc_gamg_threshold (0.0 = keep all, parity)
+    coarse_eq_limit: int = 200   # stop coarsening below this many unknowns
+    max_levels: int = 30
+    factor: int = 3              # geometric aggregation block edge
+    omega_scale: float = 4.0 / 3.0   # omega = omega_scale / rho(D^-1 A)
+    rho_iters: int = 25          # power-iteration steps for rho(D^-1 A)
+    rho_safety: float = 1.05     # inflate the estimate (underdamping is worse)
+    # level smoother: "chebyshev" (PETSc GAMG's own default, fastest) or
+    # "richardson" (the reference config's explicit choice, parity mode)
+    smoother: str = "chebyshev"
+    degree: int = 2              # chebyshev degree / richardson sweep count
+    smooth_damping: float = 1.0  # Richardson scale (PETSc default 1.0)
+    cheby_lo: float = 0.1        # chebyshev target range [lo,hi]*rho(D^-1 A)
+    cheby_hi: float = 1.05
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["op", "dinv", "rho", "transfer"],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class Level:
+    op: StarStencil3D | VarStencil27
+    dinv: jax.Array                      # 1 / diag, field view
+    rho: jax.Array                       # rho(D^{-1} A) estimate (scalar)
+    transfer: StructuredTransfer | None  # None on the coarsest level
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["levels", "damping"],
+    meta_fields=["smoother", "degree", "cheby_lo", "cheby_hi"],
+)
+@dataclasses.dataclass
+class Hierarchy:
+    levels: list[Level]
+    damping: jax.Array  # Richardson smoother scale
+    smoother: str = "chebyshev"
+    degree: int = 2
+    cheby_lo: float = 0.1
+    cheby_hi: float = 1.05
+
+    @property
+    def n_levels(self) -> int:
+        return len(self.levels)
+
+
+def estimate_rho_dinv_a(op, dinv, iters: int = 25) -> jax.Array:
+    """Power iteration for rho(D^{-1} A) (positive spectrum: A and D share
+    sign).  Deterministic start vector; a handful of stencil applies."""
+    shape = op.grid_shape
+    n = int(np.prod(shape))
+    # deterministic, non-smooth start (avoid the near-null constant vector)
+    v = jnp.sin(jnp.arange(n, dtype=dinv.dtype) * 0.7 + 0.3).reshape(shape)
+
+    def body(_, v):
+        w = dinv * op.mv(v)
+        return w / jnp.sqrt(jnp.vdot(w, w))
+
+    v = jax.lax.fori_loop(0, iters, body, v / jnp.sqrt(jnp.vdot(v, v)))
+    w = dinv * op.mv(v)
+    return jnp.vdot(v, w)  # Rayleigh quotient (v normalized)
+
+
+def gamg_setup(fine_op, params: AMGParams = AMGParams()) -> Hierarchy:
+    """Build the AMG hierarchy from the fine operator.
+
+    Runs eagerly (once per matrix — KSPSetUp parity); every product is
+    computed on device via probing, nothing leaves HBM.
+    """
+    if params.nsmooths not in (0, 1):
+        raise ValueError("only nsmooths in {0, 1} supported")
+    if params.smoother not in ("richardson", "chebyshev"):
+        raise ValueError(f"unknown smoother {params.smoother!r}")
+    levels: list[Level] = []
+    op = fine_op
+    while True:
+        diag = op.diagonal_field()
+        dinv = 1.0 / diag
+        shape = op.grid_shape
+        n = int(np.prod(shape))
+        last = (
+            n <= params.coarse_eq_limit
+            or len(levels) + 1 >= params.max_levels
+            or min(shape) < 2
+        )
+        rho = estimate_rho_dinv_a(op, dinv, params.rho_iters) * params.rho_safety
+        if last:
+            levels.append(Level(op=op, dinv=dinv, rho=rho, transfer=None))
+            break
+        omega = (
+            params.omega_scale / rho
+            if params.nsmooths == 1
+            else jnp.zeros((), dinv.dtype)
+        )
+        transfer = StructuredTransfer.build(
+            shape, omega, dinv.dtype, params.factor
+        )
+        levels.append(Level(op=op, dinv=dinv, rho=rho, transfer=transfer))
+        op = galerkin_coarse(op, dinv, transfer)
+    return Hierarchy(
+        levels=levels,
+        damping=jnp.asarray(params.smooth_damping, levels[0].dinv.dtype),
+        smoother=params.smoother,
+        degree=params.degree,
+        cheby_lo=params.cheby_lo,
+        cheby_hi=params.cheby_hi,
+    )
+
+
+def _smooth(hier: Hierarchy, lev: Level, b: jax.Array, x: jax.Array | None):
+    """Apply the level smoother to A x = b starting from x (None = zero).
+
+    richardson: x += damping * D^{-1} (b - A x), ``degree`` sweeps
+    (``-mg_levels_ksp_type richardson`` parity, scale = damping).
+    chebyshev: degree-k Chebyshev polynomial in D^{-1} A targeting
+    [cheby_lo, cheby_hi] * rho — PETSc KSPChebyshev+jacobi equivalent,
+    and GAMG's own default smoother.
+    """
+    if hier.smoother == "richardson":
+        for _ in range(hier.degree):
+            if x is None:
+                x = hier.damping * lev.dinv * b
+            else:
+                x = x + hier.damping * lev.dinv * (b - lev.op.mv(x))
+        return x
+
+    # chebyshev
+    lo = hier.cheby_lo * lev.rho
+    hi = hier.cheby_hi * lev.rho
+    theta = 0.5 * (hi + lo)
+    delta = 0.5 * (hi - lo)
+    sigma = theta / delta
+    rho_c = 1.0 / sigma
+    r = b if x is None else b - lev.op.mv(x)
+    d = (lev.dinv * r) / theta
+    x = d if x is None else x + d
+    for _ in range(hier.degree - 1):
+        rho_new = 1.0 / (2.0 * sigma - rho_c)
+        r = b - lev.op.mv(x)
+        d = rho_new * rho_c * d + (2.0 * rho_new / delta) * (lev.dinv * r)
+        x = x + d
+        rho_c = rho_new
+    return x
+
+
+def vcycle(hier: Hierarchy, b: jax.Array, level: int = 0) -> jax.Array:
+    """One V(1,1) cycle solving A_l e = b from a zero initial guess.
+
+    Smoother per ``hier.smoother`` (chebyshev default; richardson+Jacobi =
+    reference-config parity); coarse solve: preonly + Jacobi
+    (``configs/PETSc_SolverOptions_GAMG.info:10-21``).  Symmetric (same
+    smoother pre/post), so the cycle is a valid CG preconditioner.
+    """
+    lev = hier.levels[level]
+    if lev.transfer is None:
+        return lev.dinv * b  # preonly + jacobi coarse solve
+    x = _smooth(hier, lev, b, None)
+    r = b - lev.op.mv(x)
+    e_c = lev.transfer.restrict(lev.op, lev.dinv, r)
+    e = vcycle(hier, e_c, level + 1)
+    x = x + lev.transfer.prolong(lev.op, lev.dinv, e)
+    return _smooth(hier, lev, b, x)

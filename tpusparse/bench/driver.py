@@ -1,0 +1,151 @@
+"""Benchmark driver — parity with the reference's ``src/main_ksp.cpp``.
+
+Reproduces the reference driver's protocol: build the manufactured Poisson
+system, set up CG + AMG, solve, hard-fail on divergence, compute the Linf
+error against the analytic solution, and report the three-phase time triple
+``[init, create solver, solve]`` in the exact text format the reference's
+plot layer regex-parses (``src/main_ksp.cpp:124-129``,
+``scripts/generate_plots.py:87-90``) — plus a JSON sidecar so nothing
+downstream ever has to scrape text again (SURVEY.md section 5.5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from tpusparse.amg import AMGParams, gamg_setup, vcycle
+from tpusparse.grid.grid3d import Grid3D
+from tpusparse.grid.poisson import poisson_stencil
+from tpusparse.solve import cg
+
+
+@dataclasses.dataclass
+class SolveReport:
+    nx: int
+    ny: int
+    nz: int
+    iters: int
+    resnorm: float
+    linf_error: float
+    reason: int
+    t_init: float
+    t_setup: float
+    t_solve: float
+    rtol: float
+    atol: float
+    pc: str
+
+    def reference_block(self) -> str:
+        """The reference's exact output contract (src/main_ksp.cpp:124-129)."""
+        return (
+            f"[Nx, Ny, Nz]: [{self.nx}, {self.ny}, {self.nz}]\n"
+            f"Number of iterations: {self.iters}\n"
+            f"L2 norm of final residual: {self.resnorm:f}\n"
+            f"Maximum norm of error: {self.linf_error:f}\n"
+            f"Time [init, create solver, solve]: "
+            f"[{self.t_init:f}, {self.t_setup:f}, {self.t_solve:f}]"
+        )
+
+    def json_sidecar(self) -> str:
+        return json.dumps(dataclasses.asdict(self))
+
+
+class DivergedError(RuntimeError):
+    """SETERRQ1-on-negative-reason parity (src/main_ksp.cpp:109-111)."""
+
+
+def solve_poisson(
+    nx: int,
+    ny: int | None = None,
+    nz: int | None = None,
+    *,
+    rtol: float = 1e-14,
+    atol: float = 1e-12,
+    maxiter: int = 10000,
+    pc: str = "gamg",
+    amg_params: AMGParams | None = None,
+    dtype=jnp.float64,
+    warmup: bool = True,
+    check_error: bool = True,
+    n_devices: int = 1,
+) -> SolveReport:
+    """End-to-end solve with the reference's defaults
+    (tolerances: configs/PETSc_SolverOptions_GAMG.info:1-4).
+
+    Phase timing protocol matches main_ksp.cpp:80-106: init = system build,
+    setup = preconditioner construction, solve = the (pre-compiled) solve.
+    When ``warmup`` is true the solve is compiled + run once on a copy of b
+    first, so t_solve measures execution (the reference's KSPSolve timing
+    also excludes compilation — its kernels are prebuilt binaries).
+    """
+    ny = ny or nx
+    nz = nz or nx
+    if dtype == jnp.float64 and not jax.config.jax_enable_x64:
+        raise RuntimeError("enable jax_enable_x64 before building f64 systems")
+
+    t0 = time.perf_counter()
+    grid = Grid3D(nx, ny, nz)
+    op, b, exact = poisson_stencil(grid, dtype=jnp.dtype(dtype).type)
+    b = jax.block_until_ready(b)
+    t_init = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    if pc == "gamg":
+        hier = gamg_setup(op, amg_params or AMGParams())
+        m_mv = lambda r: vcycle(hier, r)
+    elif pc == "jacobi":
+        dinv = 1.0 / op.diagonal_field()
+        m_mv = lambda r: dinv * r
+    elif pc == "none":
+        m_mv = None
+    else:
+        raise ValueError(f"unknown pc {pc!r}")
+
+    if n_devices > 1:
+        from tpusparse.dist import make_mesh, shard_hierarchy, shard_system
+
+        mesh = make_mesh(n_devices)
+        op, b, exact = shard_system(op, b, exact, mesh)
+        if pc == "gamg":
+            hier = shard_hierarchy(hier, mesh)
+            m_mv = lambda r: vcycle(hier, r)
+        elif pc == "jacobi":
+            dinv = jax.device_put(dinv, b.sharding)
+            m_mv = lambda r: dinv * r
+
+    solve = jax.jit(
+        lambda b: cg(op.mv, b, rtol=rtol, atol=atol, maxiter=maxiter, m_mv=m_mv)
+    )
+    jax.block_until_ready(jax.tree.leaves(op))
+    t_setup = time.perf_counter() - t0
+
+    if warmup:
+        jax.block_until_ready(solve(b))
+
+    t0 = time.perf_counter()
+    res = jax.block_until_ready(solve(b))
+    t_solve = time.perf_counter() - t0
+
+    reason = int(res.reason)
+    if reason < 0:
+        raise DivergedError(f"Diverged reason: {reason}")
+
+    linf = float(jnp.abs(res.x - exact).max()) if check_error else float("nan")
+    return SolveReport(
+        nx=nx, ny=ny, nz=nz,
+        iters=int(res.iters),
+        resnorm=float(res.resnorm),
+        linf_error=linf,
+        reason=reason,
+        t_init=t_init,
+        t_setup=t_setup,
+        t_solve=t_solve,
+        rtol=rtol,
+        atol=atol,
+        pc=pc,
+    )

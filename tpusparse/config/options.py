@@ -1,0 +1,162 @@
+"""Typed runtime options — parity with the PETSc options database usage.
+
+The reference configures everything through PETSc's flat option database:
+an options file ingested via ``-config <file>`` (``src/main_ksp.cpp:74-77``,
+file format ``configs/PETSc_SolverOptions_GAMG.info``) plus CLI flags like
+``-da_grid_x 300`` that override compiled-in defaults
+(``runs/single-node-scaling.pbs:61-64``; defaults are the negative
+``#define Nx -100`` sentinels, ``src/main_ksp.cpp:33-35``).
+
+We keep the exact option names where they exist (``-ksp_rtol``,
+``-pc_gamg_agg_nsmooths``, ...) so a reference user's config file works
+unchanged, but parse them into one typed dataclass instead of a stringly
+global database.  Later occurrences win (CLI after file), matching PETSc's
+insert-order semantics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import shlex
+from pathlib import Path
+
+from tpusparse.amg.hierarchy import AMGParams
+
+
+@dataclasses.dataclass
+class Options:
+    """All knobs the reference exposes, with its defaults."""
+
+    # -da_grid_{x,y,z}; reference default 100 (main_ksp.cpp:33-35, negative
+    # sentinel meaning "overridable default" — we just use the value)
+    da_grid_x: int = 100
+    da_grid_y: int = 100
+    da_grid_z: int = 100
+
+    # KSP (configs/PETSc_SolverOptions_GAMG.info:1-4)
+    ksp_type: str = "cg"
+    ksp_rtol: float = 1e-5          # PETSc default; the config file sets 1e-14
+    ksp_atol: float = 1e-50
+    ksp_max_it: int = 10000
+
+    # PC
+    pc_type: str = "gamg"           # gamg | jacobi | none
+    pc_gamg_type: str = "agg"
+    pc_gamg_agg_nsmooths: int = 1
+    pc_gamg_threshold: float = 0.0
+    pc_gamg_coarse_eq_limit: int = 200
+    mg_levels_ksp_type: str = "chebyshev"  # framework default; reference
+    # config selects richardson (parity mode, both supported)
+    mg_levels_ksp_max_it: int = 2          # sweeps / chebyshev degree
+    mg_levels_pc_type: str = "bjacobi"
+    mg_levels_sub_pc_type: str = "jacobi"
+    mg_levels_ksp_richardson_scale: float = 1.0
+    mg_coarse_ksp_type: str = "preonly"
+    mg_coarse_pc_type: str = "bjacobi"
+    mg_coarse_sub_pc_type: str = "jacobi"
+
+    # TPU-framework extensions (no PETSc counterpart)
+    dtype: str = "float64"
+    devices: int = 1                # mesh size (z-sharded)
+
+    def amg_params(self) -> AMGParams:
+        return AMGParams(
+            nsmooths=self.pc_gamg_agg_nsmooths,
+            threshold=self.pc_gamg_threshold,
+            coarse_eq_limit=self.pc_gamg_coarse_eq_limit,
+            smoother=self.mg_levels_ksp_type,
+            degree=self.mg_levels_ksp_max_it,
+            smooth_damping=self.mg_levels_ksp_richardson_scale,
+        )
+
+    def validate(self) -> "Options":
+        if self.ksp_type != "cg":
+            raise ValueError(f"-ksp_type {self.ksp_type}: only 'cg' (KSPCG parity)")
+        if self.pc_type not in ("gamg", "jacobi", "none"):
+            raise ValueError(f"-pc_type {self.pc_type} not supported")
+        if self.pc_gamg_type != "agg":
+            raise ValueError("-pc_gamg_type: only 'agg' (smoothed aggregation)")
+        if self.mg_levels_ksp_type not in ("richardson", "chebyshev"):
+            raise ValueError(
+                "-mg_levels_ksp_type: 'richardson' or 'chebyshev'"
+            )
+        if self.mg_coarse_ksp_type != "preonly":
+            raise ValueError("-mg_coarse_ksp_type: only 'preonly'")
+        return self
+
+
+_FIELDS = {f.name: f for f in dataclasses.fields(Options)}
+# option names that are parsed but deliberately ignored (degenerate on a
+# single process / with our structure): bjacobi==jacobi with one block,
+# sub-KSP preonly(1) is the only shape we build.
+_ACCEPTED_NOOPS = {
+    "mg_coarse_ksp_max_it",
+    "mg_coarse_sub_ksp_type",
+    "mg_coarse_sub_ksp_max_it",
+    "mg_levels_sub_ksp_type",
+    "mg_levels_sub_ksp_max_it",
+    "config",
+}
+
+
+def _parse_tokens(tokens: list[str]) -> dict:
+    """Parse '-key value' pairs; bare '-key' means boolean true (PETSc style)."""
+    out: dict[str, str] = {}
+    i = 0
+    while i < len(tokens):
+        tok = tokens[i]
+        if not tok.startswith("-"):
+            raise ValueError(f"expected an option starting with '-', got {tok!r}")
+        key = tok.lstrip("-")
+        if i + 1 < len(tokens) and not tokens[i + 1].startswith("-"):
+            out[key] = tokens[i + 1]
+            i += 2
+        else:
+            out[key] = "true"
+            i += 1
+    return out
+
+
+def parse_options_file(path: str | Path) -> dict:
+    """Flat PETSc options file: '-key value' per line, '#' comments
+    (PetscOptionsInsertFile parity, format of configs/*.info)."""
+    tokens: list[str] = []
+    for line in Path(path).read_text().splitlines():
+        line = line.split("#", 1)[0].strip()
+        if line:
+            tokens.extend(shlex.split(line))
+    return _parse_tokens(tokens)
+
+
+def _coerce(name: str, raw: str):
+    typ = _FIELDS[name].type
+    if typ in ("int", int):
+        return int(raw)
+    if typ in ("float", float):
+        return float(raw)
+    return raw
+
+
+def load_options(argv: list[str] | None = None) -> Options:
+    """Build Options from CLI argv (after a '-config file' is expanded
+    in-place, so CLI flags that come later override the file — PETSc
+    insert-order semantics)."""
+    argv = list(argv or [])
+    cli = _parse_tokens(argv)
+    merged: dict[str, str] = {}
+    if "config" in cli:
+        merged.update(parse_options_file(cli["config"]))
+    merged.update(cli)
+
+    kwargs = {}
+    unknown = []
+    for key, raw in merged.items():
+        if key in _FIELDS:
+            kwargs[key] = _coerce(key, raw)
+        elif key in _ACCEPTED_NOOPS:
+            continue
+        else:
+            unknown.append(key)
+    if unknown:
+        raise ValueError(f"unknown options: {sorted(unknown)}")
+    return Options(**kwargs).validate()

@@ -109,5 +109,8 @@ class StarStencil3D:
     def diagonal(self) -> jax.Array:
         return self.diag.reshape(-1)
 
+    def diagonal_field(self) -> jax.Array:
+        return self.diag
+
     def __matmul__(self, x):
         return self.mv(x) if x.ndim == 3 else self.mv_flat(x)
