@@ -83,10 +83,14 @@ class Hierarchy:
         return len(self.levels)
 
 
+@partial(jax.jit, static_argnames=("iters",))
 def estimate_rho_dinv_a(op, dinv, iters: int = 25) -> jax.Array:
     """Power iteration for rho(D^{-1} A) (positive spectrum: A and D share
-    sign).  Deterministic start vector; a handful of stencil applies."""
-    shape = op.grid_shape
+    sign).  Deterministic start vector; a handful of stencil applies.
+
+    Jitted with the operator as an argument (never a closure constant — see
+    driver.py note on literal bloat)."""
+    shape = dinv.shape
     n = int(np.prod(shape))
     # deterministic, non-smooth start (avoid the near-null constant vector)
     v = jnp.sin(jnp.arange(n, dtype=dinv.dtype) * 0.7 + 0.3).reshape(shape)

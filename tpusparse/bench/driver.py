@@ -17,6 +17,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tpusparse.amg import AMGParams, gamg_setup, vcycle
 from tpusparse.grid.grid3d import Grid3D
@@ -39,6 +40,8 @@ class SolveReport:
     rtol: float
     atol: float
     pc: str
+    precision: str = "f64"
+    outer_iters: int = 0
 
     def reference_block(self) -> str:
         """The reference's exact output contract (src/main_ksp.cpp:124-129)."""
@@ -70,6 +73,7 @@ def solve_poisson(
     pc: str = "gamg",
     amg_params: AMGParams | None = None,
     dtype=jnp.float64,
+    precision: str = "mixed",
     warmup: bool = True,
     check_error: bool = True,
     n_devices: int = 1,
@@ -77,58 +81,102 @@ def solve_poisson(
     """End-to-end solve with the reference's defaults
     (tolerances: configs/PETSc_SolverOptions_GAMG.info:1-4).
 
+    ``precision``: "mixed" (default — f32 CG+AMG inner solves under f64
+    defect correction; same tolerances at TPU-native speed, see
+    solve/refine.py), "f64" (uniform f64, strict reference parity, slow on
+    TPUs without native f64), or "f32" (uniform f32, tolerance-limited).
+
     Phase timing protocol matches main_ksp.cpp:80-106: init = system build,
     setup = preconditioner construction, solve = the (pre-compiled) solve.
-    When ``warmup`` is true the solve is compiled + run once on a copy of b
-    first, so t_solve measures execution (the reference's KSPSolve timing
-    also excludes compilation — its kernels are prebuilt binaries).
+    When ``warmup`` is true the solve is compiled + run once first, so
+    t_solve measures execution (the reference's KSPSolve timing also
+    excludes compilation — its kernels are prebuilt binaries).
     """
     ny = ny or nx
     nz = nz or nx
+    if precision not in ("mixed", "f64", "f32"):
+        raise ValueError(f"unknown precision {precision!r}")
+    if precision == "f32":
+        dtype = jnp.float32
     if dtype == jnp.float64 and not jax.config.jax_enable_x64:
         raise RuntimeError("enable jax_enable_x64 before building f64 systems")
+    mixed = precision == "mixed"
 
     t0 = time.perf_counter()
     grid = Grid3D(nx, ny, nz)
     op, b, exact = poisson_stencil(grid, dtype=jnp.dtype(dtype).type)
+    # low-precision twin for the inner solves (also the AMG's home dtype)
+    op_lo = poisson_stencil(grid, dtype=np.float32)[0] if mixed else op
     b = jax.block_until_ready(b)
     t_init = time.perf_counter() - t0
 
     t0 = time.perf_counter()
+    # NOTE: operator/hierarchy pytrees are passed as jit ARGUMENTS, never
+    # closed over — a closure would bake hundreds of MB of fields into the
+    # program as literal constants (and, e.g., overflow remote-compile
+    # transports).  Data stays device-resident; only the HLO is compiled.
     if pc == "gamg":
-        hier = gamg_setup(op, amg_params or AMGParams())
-        m_mv = lambda r: vcycle(hier, r)
+        pc_state = gamg_setup(op_lo, amg_params or AMGParams())
+        m_of = lambda pc_state: (lambda r: vcycle(pc_state, r))
     elif pc == "jacobi":
-        dinv = 1.0 / op.diagonal_field()
-        m_mv = lambda r: dinv * r
+        pc_state = 1.0 / op_lo.diagonal_field()
+        m_of = lambda pc_state: (lambda r: pc_state * r)
     elif pc == "none":
-        m_mv = None
+        pc_state = jnp.zeros(())
+        m_of = lambda pc_state: None
     else:
         raise ValueError(f"unknown pc {pc!r}")
 
+    if mixed:
+        from tpusparse.solve.refine import cg_refined
+
+        def solve_fn(op, op_lo, pc_state, b):
+            return cg_refined(
+                op.mv, op_lo.mv, b, rtol=rtol, atol=atol,
+                m_lo_mv=m_of(pc_state),
+            )
+    else:
+        def solve_fn(op, op_lo, pc_state, b):
+            return cg(
+                op.mv, b, rtol=rtol, atol=atol, maxiter=maxiter,
+                m_mv=m_of(pc_state),
+            )
+
     if n_devices > 1:
-        from tpusparse.dist import make_mesh, shard_hierarchy, shard_system
+        from tpusparse.dist import (
+            field_sharding,
+            make_mesh,
+            shard_hierarchy,
+            shard_system,
+        )
 
         mesh = make_mesh(n_devices)
         op, b, exact = shard_system(op, b, exact, mesh)
-        if pc == "gamg":
-            hier = shard_hierarchy(hier, mesh)
-            m_mv = lambda r: vcycle(hier, r)
-        elif pc == "jacobi":
-            dinv = jax.device_put(dinv, b.sharding)
-            m_mv = lambda r: dinv * r
+        if mixed:
+            from tpusparse.dist.mesh import _put
 
-    solve = jax.jit(
-        lambda b: cg(op.mv, b, rtol=rtol, atol=atol, maxiter=maxiter, m_mv=m_mv)
-    )
+            op_lo = _put(op_lo, field_sharding(mesh))
+        else:
+            op_lo = op
+        if pc == "gamg":
+            pc_state = shard_hierarchy(pc_state, mesh)
+        elif pc == "jacobi":
+            pc_state = jax.device_put(pc_state, field_sharding(mesh))
+
+    jitted = jax.jit(solve_fn)
+    solve = lambda b: jitted(op, op_lo, pc_state, b)
     jax.block_until_ready(jax.tree.leaves(op))
     t_setup = time.perf_counter() - t0
 
+    # NOTE: sync via scalar fetch, not block_until_ready — on tunneled
+    # backends (axon) block_until_ready can return before execution finishes;
+    # fetching an output scalar cannot.
     if warmup:
-        jax.block_until_ready(solve(b))
+        float(solve(b).resnorm)
 
     t0 = time.perf_counter()
-    res = jax.block_until_ready(solve(b))
+    res = solve(b)
+    resnorm = float(res.resnorm)
     t_solve = time.perf_counter() - t0
 
     reason = int(res.reason)
@@ -139,7 +187,7 @@ def solve_poisson(
     return SolveReport(
         nx=nx, ny=ny, nz=nz,
         iters=int(res.iters),
-        resnorm=float(res.resnorm),
+        resnorm=resnorm,
         linf_error=linf,
         reason=reason,
         t_init=t_init,
@@ -148,4 +196,6 @@ def solve_poisson(
         rtol=rtol,
         atol=atol,
         pc=pc,
+        precision=precision,
+        outer_iters=int(getattr(res, "outer_iters", 0)),
     )

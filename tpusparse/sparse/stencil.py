@@ -85,13 +85,22 @@ class StarStencil3D:
     def dtype(self):
         return self.diag.dtype
 
+    def _origin_mask(self, shape) -> jax.Array:
+        """Boolean (nz, ny, nx) mask of the pinned cell, built from iotas so
+        XLA fuses it into the elementwise pipeline — a dynamic-update-slice
+        here would materialize a full array copy per apply."""
+        k = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        j = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        i = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+        return (k == 0) & (j == 0) & (i == 0)
+
     def mv(self, x: jax.Array) -> jax.Array:
         """y = A @ x on the 3D field view (nz, ny, nx)."""
         if x.shape != self.diag.shape:
             raise ValueError(f"x shape {x.shape} != grid {self.diag.shape}")
         if self.pinned:
-            x000 = x[0, 0, 0]
-            xn = x.at[0, 0, 0].set(jnp.zeros((), x.dtype))
+            origin = self._origin_mask(x.shape)
+            xn = jnp.where(origin, jnp.zeros((), x.dtype), x)
         else:
             xn = x
         y = self.diag * x
@@ -99,7 +108,8 @@ class StarStencil3D:
         y += self.cy * (_shift(xn, 1, 1) + _shift(xn, 1, -1))
         y += self.cz * (_shift(xn, 0, 1) + _shift(xn, 0, -1))
         if self.pinned:
-            y = y.at[0, 0, 0].set(self.diag[0, 0, 0] * x000)
+            # pinned row: y[0] = diag[0] * x[0] only
+            y = jnp.where(origin, self.diag * x, y)
         return y
 
     def mv_flat(self, x: jax.Array) -> jax.Array:
