@@ -72,9 +72,22 @@ def greedy_aggregate(a: HostCSR, threshold: float = 0.0) -> np.ndarray:
     new aggregate containing the whole neighborhood.  Pass 2: remaining nodes
     join the aggregate of any strong neighbor.  Pass 3: leftovers root their
     own aggregates from whatever unaggregated neighbors remain.
+
+    Dispatches to the native C++ engine when built (same decisions — tested
+    against ``_greedy_aggregate_py``); Python loops otherwise.
     """
-    n = a.n_rows
+    from tpusparse import native
+
     strong = strength_graph(a, threshold)
+    if native.available():
+        agg, _ = native.aggregate(a, strong)
+        return agg
+    return _greedy_aggregate_py(a, strong)
+
+
+def _greedy_aggregate_py(a: HostCSR, strong: np.ndarray) -> np.ndarray:
+    """Pure-Python reference implementation (and no-toolchain fallback)."""
+    n = a.n_rows
     indptr, indices = a.indptr, a.indices
     agg = np.full(n, -1, dtype=np.int64)
     n_agg = 0
@@ -179,7 +192,14 @@ def gamg_setup_unstructured(
             r=ELL.from_csr(HostCSR.from_scipy(p.T.tocsr()), dtype=dtype),
         )
         levels.append(Level(transfer=transfer, **lev_common))
-        ac = (p.T @ (a_sp @ p)).tocsr()
+        # Galerkin triple product (PETSc MatPtAP parity): native C++ SpGEMM
+        # when built (tpusparse/native), scipy otherwise
+        from tpusparse import native
+
+        if native.available():
+            ac = native.ptap(HostCSR.from_scipy(p), HostCSR.from_scipy(a_sp)).to_scipy()
+        else:
+            ac = (p.T @ (a_sp @ p)).tocsr()
         ac.sum_duplicates()
         ac.eliminate_zeros()
         a_sp = ac

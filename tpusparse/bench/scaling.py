@@ -1,0 +1,174 @@
+"""Scaling harness — parity with the reference's PBS benchmark jobs.
+
+The reference's protocol (``runs/single-node-scaling.pbs:56-67``,
+``runs/multiple-node-scaling.pbs:57-68``): run the same 300^3 problem at a
+sweep of rank counts, append each run's output block to a log, plot KSPSolve
+time vs ranks.  Here the sweep is over *device counts* on a
+``jax.sharding.Mesh`` — real chips when available, XLA host-emulated devices
+otherwise (``XLA_FLAGS=--xla_force_host_platform_device_count=N``) — and
+each run emits the same text block plus a JSON record, so the plot layer
+never scrapes text (SURVEY.md section 5.5).
+
+Strong scaling: fixed global problem, more devices.  Weak scaling: fixed
+per-device problem (the BASELINE.json north star is >= 70% nnz/s efficiency).
+
+Usage:
+    python -m tpusparse.bench.scaling strong --n 128 --devices 1,2,4,8
+    python -m tpusparse.bench.scaling weak --per-device 64 --devices 1,2,4,8
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import pathlib
+import sys
+
+import jax
+
+
+@dataclasses.dataclass
+class ScalingPoint:
+    n_devices: int
+    nx: int
+    ny: int
+    nz: int
+    t_solve: float
+    iters: int
+    linf_error: float
+    nnz: int
+
+    @property
+    def nnz_per_s(self) -> float:
+        # nnz * iters: each CG iteration applies the fine operator once
+        return self.nnz * max(self.iters, 1) / self.t_solve
+
+
+def _poisson_nnz(nx: int, ny: int, nz: int) -> int:
+    n = nx * ny * nz
+    return 7 * n - 2 * (ny * nz + nx * nz + nx * ny)
+
+
+def run_strong(
+    n: int, device_counts: list[int], rtol: float = 1e-8, **kw
+) -> list[ScalingPoint]:
+    from tpusparse.bench.driver import solve_poisson
+
+    pts = []
+    for d in device_counts:
+        rep = solve_poisson(n, rtol=rtol, n_devices=d, **kw)
+        pts.append(
+            ScalingPoint(
+                n_devices=d, nx=n, ny=n, nz=n,
+                t_solve=rep.t_solve, iters=rep.iters,
+                linf_error=rep.linf_error, nnz=_poisson_nnz(n, n, n),
+            )
+        )
+        print(_reference_line(pts[-1]))
+    return pts
+
+
+def run_weak(
+    per_device: int, device_counts: list[int], rtol: float = 1e-8, **kw
+) -> list[ScalingPoint]:
+    """Grow nz with the device count (z-major mesh) at fixed per-device box."""
+    from tpusparse.bench.driver import solve_poisson
+    from tpusparse.dist.mesh import _factor2
+
+    pts = []
+    for d in device_counts:
+        pz, py = _factor2(d)
+        nx, ny, nz = per_device, per_device * py, per_device * pz
+        rep = solve_poisson(nx, ny, nz, rtol=rtol, n_devices=d, **kw)
+        pts.append(
+            ScalingPoint(
+                n_devices=d, nx=nx, ny=ny, nz=nz,
+                t_solve=rep.t_solve, iters=rep.iters,
+                linf_error=rep.linf_error, nnz=_poisson_nnz(nx, ny, nz),
+            )
+        )
+        print(_reference_line(pts[-1]))
+    return pts
+
+
+def _reference_line(p: ScalingPoint) -> str:
+    """One line per run, shaped like the reference's log contract
+    (``scripts/generate_plots.py:87-90`` parses ``<N> Cores ... Time ...``)."""
+    return (
+        f"{p.n_devices} Devices [{p.nx}x{p.ny}x{p.nz}] "
+        f"iters {p.iters} Linf {p.linf_error:.3e} "
+        f"Time [solve]: [{p.t_solve:.6f}] "
+        f"({p.nnz_per_s/1e9:.2f} Gnnz/s)"
+    )
+
+
+def efficiency(pts: list[ScalingPoint], weak: bool) -> dict[int, float]:
+    """Scaling efficiency vs the smallest device count in the sweep."""
+    base = pts[0]
+    out = {}
+    for p in pts:
+        scale = p.n_devices / base.n_devices
+        if weak:
+            out[p.n_devices] = (p.nnz_per_s / base.nnz_per_s) / scale
+        else:
+            out[p.n_devices] = base.t_solve / (p.t_solve * scale)
+    return out
+
+
+def save_json(pts: list[ScalingPoint], mode: str, path: pathlib.Path) -> None:
+    rec = {
+        "mode": mode,
+        "backend": jax.default_backend(),
+        "points": [dataclasses.asdict(p) for p in pts],
+        "efficiency": efficiency(pts, weak=(mode == "weak")),
+    }
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_text(json.dumps(rec, indent=2))
+    print(f"wrote {path}")
+
+
+def main(argv=None) -> int:
+    import os
+
+    # honor JAX_PLATFORMS even when an ambient TPU plugin (axon) would
+    # otherwise win the platform election — needed for host-emulated meshes
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("mode", choices=["strong", "weak"])
+    ap.add_argument("--n", type=int, default=128, help="grid edge (strong)")
+    ap.add_argument(
+        "--per-device", type=int, default=64, help="per-device edge (weak)"
+    )
+    ap.add_argument("--devices", default="1,2,4,8")
+    ap.add_argument("--rtol", type=float, default=1e-8)
+    ap.add_argument("--precision", default="mixed")
+    ap.add_argument("--out", default="runs/scaling_{mode}.json")
+    args = ap.parse_args(argv)
+
+    counts = [int(c) for c in args.devices.split(",")]
+    if max(counts) > len(jax.devices()):
+        print(
+            f"requested {max(counts)} devices but only {len(jax.devices())} "
+            f"available; set XLA_FLAGS=--xla_force_host_platform_device_count=N"
+            f" JAX_PLATFORMS=cpu for host emulation",
+            file=sys.stderr,
+        )
+        return 2
+    kw = dict(rtol=args.rtol, precision=args.precision)
+    if args.mode == "strong":
+        pts = run_strong(args.n, counts, **kw)
+    else:
+        pts = run_weak(args.per_device, counts, **kw)
+    eff = efficiency(pts, weak=(args.mode == "weak"))
+    for d, e in eff.items():
+        print(f"  {d} devices: efficiency {e*100:.1f}%")
+    save_json(pts, args.mode, pathlib.Path(args.out.format(mode=args.mode)))
+    return 0
+
+
+if __name__ == "__main__":
+    jax.config.update("jax_enable_x64", True)
+    raise SystemExit(main())

@@ -80,6 +80,12 @@ def check_divisible(field_shape, mesh: Mesh) -> None:
 
 
 def _put(tree, sharding):
+    # sharded stencil applies must take the XLA lax.pad path (GSPMD partitions
+    # the pads into halo exchanges); the Pallas kernel is single-device
+    import dataclasses
+
+    if getattr(tree, "backend", None) is not None:
+        tree = dataclasses.replace(tree, backend="xla")
     return jax.tree.map(
         lambda x: jax.device_put(x, sharding) if hasattr(x, "ndim") and x.ndim == 3
         else jax.device_put(x, NamedSharding(sharding.mesh, P())),

@@ -72,6 +72,8 @@ def cg(
     atol: float = 1e-50,
     maxiter: int = 10000,
     m_mv: Callable | None = None,
+    state0: tuple | None = None,
+    return_state: bool = False,
 ) -> CGResult:
     """Solve A x = b with (preconditioned) CG.
 
@@ -79,6 +81,11 @@ def cg(
     (defaults to identity).  Convergence: ||r||_2 <= max(rtol*||b||_2, atol)
     on the *unpreconditioned* residual, checked every iteration (PETSc
     KSPConvergedDefault semantics with the reference's tolerances).
+
+    ``return_state=True`` additionally returns the full Krylov state tuple;
+    passing it back as ``state0`` resumes the iteration *exactly* (same
+    conjugacy history — used by solve/checkpoint.py).  The state's iteration
+    counter is global, so a resumed call should raise ``maxiter`` accordingly.
 
     Jit-compatible: call under ``jax.jit`` with static rtol/atol/maxiter.
     """
@@ -92,10 +99,11 @@ def cg(
     bnorm = jnp.sqrt(_dot(b, b)).astype(dt)
     tol = jnp.maximum(jnp.asarray(rtol, dt) * bnorm, jnp.asarray(atol, dt))
 
-    r0 = b - a_mv(x0)
-    z0 = m_mv(r0)
-    rz0 = _dot(r0, z0)
-    rnorm0 = jnp.sqrt(_dot(r0, r0))
+    if state0 is None:
+        r0 = b - a_mv(x0)
+        z0 = m_mv(r0)
+        rz0 = _dot(r0, z0)
+        rnorm0 = jnp.sqrt(_dot(r0, r0))
 
     def classify(rnorm, it):
         return jnp.where(
@@ -133,13 +141,20 @@ def cg(
         rnorm = jnp.sqrt(_dot(r, r))
         return (x, r, z, p, rz_new, rnorm, it + 1)
 
-    state = (x0, r0, z0, z0, rz0, rnorm0, jnp.int32(0))
-    x, r, _z, _p, _rz, rnorm, it = jax.lax.while_loop(cond, body, state)
+    if state0 is None:
+        state = (x0, r0, z0, z0, rz0, rnorm0, jnp.int32(0))
+    else:
+        state = state0
+    out = jax.lax.while_loop(cond, body, state)
+    x, rnorm, it = out[0], out[5], out[6]
 
-    return CGResult(
+    result = CGResult(
         x=x,
         iters=it,
         resnorm=rnorm,
         reason=classify(rnorm, it),
         bnorm=bnorm,
     )
+    if return_state:
+        return result, out
+    return result

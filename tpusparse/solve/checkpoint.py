@@ -1,0 +1,119 @@
+"""Solver-state checkpoint / resume.
+
+The reference has none (SURVEY.md sections 5.3-5.4): its solves finish in
+seconds-to-minutes and PBS jobs are fixed-size, so fail-fast (CHKERRQ /
+SETERRQ) was enough.  For long multi-host TPU solves the cheap insurance the
+survey recommends is snapshotting the Krylov state — for CG that is just the
+current iterate (plus metadata): on resume we warm-restart CG from the saved
+x, recomputing r = b - A x.  A warm restart drops the conjugacy history, but
+restarted CG is a standard method — total work to tolerance grows by at most
+the few iterations needed to rebuild the Krylov subspace, and the true
+residual is exact at the restart point (no recurrence drift to inherit).
+
+State is written atomically (tmp file + rename) as npz: leaves of an
+arbitrary pytree plus a user metadata dict — no pickle, no custom formats.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import pathlib
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def save_pytree(path: str | os.PathLike, tree, meta: dict | None = None):
+    """Atomically write a pytree's leaves (+ JSON-able metadata) to npz."""
+    path = pathlib.Path(path)
+    leaves = jax.tree.leaves(tree)
+    arrays = {f"leaf_{i}": np.asarray(jax.device_get(v))
+              for i, v in enumerate(leaves)}
+    arrays["__meta__"] = np.frombuffer(
+        json.dumps(meta or {}).encode(), dtype=np.uint8
+    )
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+    os.replace(tmp, path)  # atomic on POSIX
+    return path
+
+
+def load_pytree(path: str | os.PathLike, template):
+    """Load leaves saved by ``save_pytree`` back into ``template``'s
+    structure.  Returns (tree, meta)."""
+    with np.load(pathlib.Path(path)) as z:
+        meta = json.loads(bytes(z["__meta__"].tobytes()).decode() or "{}")
+        flat, treedef = jax.tree.flatten(template)
+        leaves = [z[f"leaf_{i}"] for i in range(len(flat))]
+    restored = [
+        jnp.asarray(v, dtype=t.dtype) if hasattr(t, "dtype") else v
+        for v, t in zip(leaves, flat)
+    ]
+    return jax.tree.unflatten(treedef, restored), meta
+
+
+@dataclasses.dataclass
+class CheckpointConfig:
+    path: str | os.PathLike
+    every: int = 50          # iterations between snapshots
+    keep_history: bool = False  # also write path.it<N> copies
+
+
+def cg_checkpointed(
+    a_mv: Callable,
+    b: jax.Array,
+    cfg: CheckpointConfig,
+    *,
+    rtol: float = 1e-5,
+    atol: float = 1e-50,
+    maxiter: int = 10000,
+    m_mv: Callable | None = None,
+    resume: bool = True,
+):
+    """CG with periodic solver-state snapshots and automatic resume.
+
+    Runs ``cg`` in chunks of ``cfg.every`` iterations; after each chunk the
+    iterate is snapshotted to ``cfg.path``.  If ``resume`` and the file
+    exists, the solve continues from the saved iterate instead of zero —
+    convergence criteria stay global (||r|| <= max(rtol*||b||, atol) on the
+    true residual, PETSc KSPConvergedDefault parity like ``cg``).
+    """
+    from tpusparse.solve.cg import ConvergedReason, cg
+
+    path = pathlib.Path(cfg.path)
+    # state template: (x, r, z, p, rz, rnorm, it) — matches cg's loop carry
+    zeros = jnp.zeros_like(b)
+    template = (zeros, zeros, zeros, zeros,
+                jnp.zeros((), b.dtype), jnp.zeros((), b.dtype), jnp.int32(0))
+    state = None
+    if resume and path.exists():
+        state, _meta = load_pytree(path, template)
+
+    while True:
+        done = 0 if state is None else int(state[6])
+        bound = min(done + cfg.every, maxiter)
+        res, state = cg(
+            a_mv, b, rtol=rtol, atol=atol, maxiter=bound, m_mv=m_mv,
+            state0=state, return_state=True,
+        )
+        total = int(res.iters)
+        save_pytree(path, state, {"iters": total, "rtol": rtol, "atol": atol})
+        if cfg.keep_history:
+            save_pytree(
+                path.with_suffix(path.suffix + f".it{total}"), state,
+                {"iters": total},
+            )
+        if int(res.reason) > 0:  # converged
+            break
+        if int(res.reason) == int(ConvergedReason.DIVERGED_NANORINF):
+            break
+        if int(res.iters) >= maxiter:
+            break  # global budget exhausted (stays DIVERGED_ITS)
+        # otherwise the chunk budget ran out — continue from the saved state
+    return res, int(res.iters)

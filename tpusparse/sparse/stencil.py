@@ -54,7 +54,7 @@ def _shift(x: jax.Array, axis: int, direction: int) -> jax.Array:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["diag", "cx", "cy", "cz"],
-    meta_fields=["pinned"],
+    meta_fields=["pinned", "backend"],
 )
 @dataclasses.dataclass
 class StarStencil3D:
@@ -64,6 +64,12 @@ class StarStencil3D:
     If ``pinned`` is true, row/column 0 (natural ordering) are zeroed except
     the diagonal — ``diag[0,0,0]`` holds the pinned diagonal value (the
     reference's ``scale``, ``src/helper.cpp:264-274``).
+
+    ``backend`` selects the SpMV implementation: "auto" (Pallas slab kernel
+    when on TPU, f32, single-device, supported shape; XLA otherwise), "xla"
+    (always the lax.pad pipeline — required for sharded fields, where GSPMD
+    partitions the pads), or "pallas" (force the kernel; raises if
+    unsupported).
     """
 
     diag: jax.Array          # (nz, ny, nx)
@@ -71,6 +77,7 @@ class StarStencil3D:
     cy: jax.Array            # scalar
     cz: jax.Array            # scalar
     pinned: bool
+    backend: str = "auto"
 
     @property
     def shape(self) -> tuple[int, int]:
@@ -94,10 +101,40 @@ class StarStencil3D:
         i = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
         return (k == 0) & (j == 0) & (i == 0)
 
+    def _pallas_eligible(self, x: jax.Array) -> bool:
+        """Trace-time backend choice (shapes/dtypes/platform are static)."""
+        if self.backend == "xla":
+            return False
+        from tpusparse.kernels.stencil7 import star7_supported
+
+        ok = star7_supported(self.diag.shape, x.dtype)
+        if self.backend == "pallas":
+            if not ok:
+                raise ValueError(
+                    f"pallas star7 unsupported for shape {self.diag.shape} "
+                    f"dtype {x.dtype}"
+                )
+            return True
+        import os
+
+        # "auto" currently requires an explicit opt-in on TPU while the
+        # kernel is being qualified against the deployed Mosaic toolchain
+        return (
+            ok
+            and jax.default_backend() == "tpu"
+            and os.environ.get("TPUSPARSE_PALLAS", "0") == "1"
+        )
+
     def mv(self, x: jax.Array) -> jax.Array:
         """y = A @ x on the 3D field view (nz, ny, nx)."""
         if x.shape != self.diag.shape:
             raise ValueError(f"x shape {x.shape} != grid {self.diag.shape}")
+        if self._pallas_eligible(x):
+            from tpusparse.kernels.stencil7 import star7_mv_pallas
+
+            return star7_mv_pallas(
+                self.diag, self.cx, self.cy, self.cz, x, self.pinned
+            )
         if self.pinned:
             origin = self._origin_mask(x.shape)
             xn = jnp.where(origin, jnp.zeros((), x.dtype), x)
