@@ -138,6 +138,10 @@ def gamg_setup(fine_op, params: AMGParams = AMGParams()) -> Hierarchy:
         transfer = StructuredTransfer.build(
             shape, omega, dinv.dtype, params.factor
         )
+        from tpusparse.sparse.padded import PaddedStar, PaddedTransfer
+
+        if isinstance(op, PaddedStar):
+            transfer = PaddedTransfer(inner=transfer)
         levels.append(Level(op=op, dinv=dinv, rho=rho, transfer=transfer))
         op = galerkin_coarse(op, dinv, transfer)
     return Hierarchy(

@@ -55,8 +55,26 @@ def aggregate_sizes(fine_shape, factor: int = 3) -> np.ndarray:
     )
 
 
+def _agg_matrix(n: int, factor: int, dtype) -> np.ndarray:
+    """(n, ceil(n/factor)) 0/1 membership matrix: S[i, i // factor] = 1.
+
+    The T-action along one axis is a contraction with S — on TPU that is an
+    MXU matmul at full throughput, where the naive ``jnp.repeat`` /
+    reshape-and-reduce formulation forces tile relayouts that dominated the
+    whole V-cycle (measured ~30 ms of a 39 ms cycle at 300^3).
+    """
+    nc = cdiv(n, factor)
+    s = np.zeros((n, nc), dtype)
+    s[np.arange(n), np.arange(n) // factor] = 1
+    return s
+
+
 def _repeat_crop(e: jax.Array, fine_shape, factor: int) -> jax.Array:
-    """T-action index part: coarse field -> fine field (piecewise constant)."""
+    """T-action index part: coarse field -> fine field (piecewise constant).
+
+    Reference implementation (repeat + crop); the hot path uses the
+    ``_agg_matrix`` contractions below.  Kept as the oracle for tests.
+    """
     x = e
     for ax in range(3):
         x = jnp.repeat(x, factor, axis=ax)
@@ -64,7 +82,11 @@ def _repeat_crop(e: jax.Array, fine_shape, factor: int) -> jax.Array:
 
 
 def _block_sum(r: jax.Array, c_shape, factor: int) -> jax.Array:
-    """T^T-action index part: fine field -> coarse field (sum over blocks)."""
+    """T^T-action index part: fine field -> coarse field (sum over blocks).
+
+    Reference implementation (pad + 6-D reshape + reduce); hot path uses
+    ``_agg_matrix`` contractions.  Kept as the oracle for tests.
+    """
     pad = tuple((0, c_shape[i] * factor - r.shape[i], 0) for i in range(3))
     x = lax.pad(r, jnp.zeros((), r.dtype), pad)
     x = x.reshape(
@@ -75,7 +97,7 @@ def _block_sum(r: jax.Array, c_shape, factor: int) -> jax.Array:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["omega", "tnorm"],
+    data_fields=["omega", "tnorm", "sz", "sy", "sx"],
     meta_fields=["fine_shape", "factor"],
 )
 @dataclasses.dataclass
@@ -83,12 +105,17 @@ class StructuredTransfer:
     """Matrix-free smoothed-aggregation transfer between one level pair.
 
     ``tnorm`` is the coarse-shaped field 1/sqrt(|agg|); ``omega`` the
-    prolongator-smoothing damping.  ``fine_op``/``dinv`` live in the fine
-    level and are passed per call (they are needed for the smoothing apply).
+    prolongator-smoothing damping; ``sz/sy/sx`` the per-axis aggregation
+    matrices (``_agg_matrix``) that carry the T-action as MXU contractions.
+    ``fine_op``/``dinv`` live in the fine level and are passed per call
+    (they are needed for the smoothing apply).
     """
 
     omega: jax.Array                 # scalar
     tnorm: jax.Array                 # (ncz, ncy, ncx)
+    sz: jax.Array                    # (nz, ncz) 0/1
+    sy: jax.Array                    # (ny, ncy) 0/1
+    sx: jax.Array                    # (nx, ncx) 0/1
     fine_shape: tuple[int, int, int]
     factor: int
 
@@ -99,6 +126,9 @@ class StructuredTransfer:
         return cls(
             omega=jnp.asarray(omega, dtype),
             tnorm=tnorm,
+            sz=jnp.asarray(_agg_matrix(fine_shape[0], factor, dtype)),
+            sy=jnp.asarray(_agg_matrix(fine_shape[1], factor, dtype)),
+            sx=jnp.asarray(_agg_matrix(fine_shape[2], factor, dtype)),
             fine_shape=tuple(fine_shape),
             factor=factor,
         )
@@ -107,15 +137,30 @@ class StructuredTransfer:
     def c_shape(self):
         return coarse_shape(self.fine_shape, self.factor)
 
+    def t_apply(self, e_c: jax.Array) -> jax.Array:
+        """T e_c: normalized piecewise-constant interpolation, as three MXU
+        contractions (coarse -> fine)."""
+        x = e_c * self.tnorm
+        x = jnp.einsum("zc,cde->zde", self.sz, x)
+        x = jnp.einsum("yd,zde->zye", self.sy, x)
+        return jnp.einsum("xe,zye->zyx", self.sx, x)
+
+    def tT_apply(self, r: jax.Array) -> jax.Array:
+        """T^T r: block sums as three MXU contractions (fine -> coarse)."""
+        x = jnp.einsum("zyx,zc->cyx", r, self.sz)
+        x = jnp.einsum("cyx,yd->cdx", x, self.sy)
+        x = jnp.einsum("cdx,xe->cde", x, self.sx)
+        return x * self.tnorm
+
     def prolong(self, fine_op, dinv: jax.Array, e_c: jax.Array) -> jax.Array:
         """x_f = P e_c = (I - omega D^{-1} A) T e_c."""
-        t = _repeat_crop(e_c * self.tnorm, self.fine_shape, self.factor)
+        t = self.t_apply(e_c)
         return t - self.omega * dinv * fine_op.mv(t)
 
     def restrict(self, fine_op, dinv: jax.Array, r: jax.Array) -> jax.Array:
         """r_c = P^T r = T^T (I - omega A D^{-1}) r   (A symmetric)."""
         s = r - self.omega * fine_op.mv(dinv * r)
-        return _block_sum(s, self.c_shape, self.factor) * self.tnorm
+        return self.tT_apply(s)
 
     # --- host-side explicit P (oracle for tests / interop) ----------------
     def explicit_p_scipy(self, fine_op_csr, dinv_flat: np.ndarray):

@@ -77,6 +77,7 @@ def solve_poisson(
     warmup: bool = True,
     check_error: bool = True,
     n_devices: int = 1,
+    layout: str = "auto",
 ) -> SolveReport:
     """End-to-end solve with the reference's defaults
     (tolerances: configs/PETSc_SolverOptions_GAMG.info:1-4).
@@ -94,19 +95,44 @@ def solve_poisson(
     """
     ny = ny or nx
     nz = nz or nx
-    if precision not in ("mixed", "f64", "f32"):
+    if precision not in ("mixed", "tf", "f64", "f32"):
         raise ValueError(f"unknown precision {precision!r}")
     if precision == "f32":
         dtype = jnp.float32
     if dtype == jnp.float64 and not jax.config.jax_enable_x64:
         raise RuntimeError("enable jax_enable_x64 before building f64 systems")
-    mixed = precision == "mixed"
+    mixed = precision in ("mixed", "tf")
 
     t0 = time.perf_counter()
     grid = Grid3D(nx, ny, nz)
     op, b, exact = poisson_stencil(grid, dtype=jnp.dtype(dtype).type)
     # low-precision twin for the inner solves (also the AMG's home dtype)
     op_lo = poisson_stencil(grid, dtype=np.float32)[0] if mixed else op
+
+    # padded-resident inner layout (sparse/padded.py): zero per-apply
+    # pad/unpad traffic on the hottest kernel.  "auto": on for mixed/tf
+    # single-device TPU runs with Pallas-supported shapes.
+    from tpusparse.kernels.stencil7 import is_tpu_backend, star7_supported
+
+    if layout not in ("auto", "padded", "plain"):
+        raise ValueError(f"unknown layout {layout!r}")
+    # NOTE: "auto" currently resolves to the plain layout: measured on the
+    # v5e chip, XLA's fused stencil+smoother pipeline with the matmul
+    # transfers beats the padded/Pallas pipeline (0.73 s vs 0.88 s for 35
+    # inner iterations at 300^3) because the custom call blocks elementwise
+    # fusion around each apply.  The padded path remains selectable and
+    # becomes the target once the kernel fuses its neighbors' work.
+    del is_tpu_backend, star7_supported  # (kept imported for layout="auto" evolution)
+    padded = mixed and n_devices == 1 and layout == "padded"
+    encode = decode = None
+    if padded:
+        from functools import partial as _partial
+
+        from tpusparse.sparse.padded import PaddedStar, crop_field, pad_field
+
+        op_lo = PaddedStar.from_star(op_lo)
+        encode = pad_field
+        decode = _partial(crop_field, shape=grid.shape)
     b = jax.block_until_ready(b)
     t_init = time.perf_counter() - t0
 
@@ -127,13 +153,24 @@ def solve_poisson(
     else:
         raise ValueError(f"unknown pc {pc!r}")
 
-    if mixed:
+    if precision == "tf":
+        # two-float outer: no f64 on the device hot path at all
+        from tpusparse.solve.refine import cg_refined_tf
+
+        op_df = op.to_df()
+
+        def solve_fn(op_df, op_lo, pc_state, b):
+            return cg_refined_tf(
+                op_df, op_lo.mv, b, rtol=rtol, atol=atol,
+                m_lo_mv=m_of(pc_state), encode=encode, decode=decode,
+            )
+    elif mixed:
         from tpusparse.solve.refine import cg_refined
 
         def solve_fn(op, op_lo, pc_state, b):
             return cg_refined(
                 op.mv, op_lo.mv, b, rtol=rtol, atol=atol,
-                m_lo_mv=m_of(pc_state),
+                m_lo_mv=m_of(pc_state), encode=encode, decode=decode,
             )
     else:
         def solve_fn(op, op_lo, pc_state, b):
@@ -156,6 +193,8 @@ def solve_poisson(
             from tpusparse.dist.mesh import _put
 
             op_lo = _put(op_lo, field_sharding(mesh))
+            if precision == "tf":
+                op_df = _put(op_df, field_sharding(mesh))
         else:
             op_lo = op
         if pc == "gamg":
@@ -163,8 +202,9 @@ def solve_poisson(
         elif pc == "jacobi":
             pc_state = jax.device_put(pc_state, field_sharding(mesh))
 
+    op_hi = op_df if precision == "tf" else op
     jitted = jax.jit(solve_fn)
-    solve = lambda b: jitted(op, op_lo, pc_state, b)
+    solve = lambda b: jitted(op_hi, op_lo, pc_state, b)
     jax.block_until_ready(jax.tree.leaves(op))
     t_setup = time.perf_counter() - t0
 

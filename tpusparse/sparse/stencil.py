@@ -119,9 +119,11 @@ class StarStencil3D:
 
         # "auto" currently requires an explicit opt-in on TPU while the
         # kernel is being qualified against the deployed Mosaic toolchain
+        from tpusparse.kernels.stencil7 import is_tpu_backend
+
         return (
             ok
-            and jax.default_backend() == "tpu"
+            and is_tpu_backend()
             and os.environ.get("TPUSPARSE_PALLAS", "0") == "1"
         )
 
@@ -153,6 +155,19 @@ class StarStencil3D:
         """y = A @ x on the 1D natural-ordering vector view."""
         return self.mv(x.reshape(self.diag.shape)).reshape(-1)
 
+    def to_df(self) -> "StarStencilDF":
+        """Two-float twin of this (f64) operator for fast high-precision
+        applies on TPUs without native f64 (see utils/twofloat.py)."""
+        from tpusparse.utils.twofloat import DF64
+
+        return StarStencilDF(
+            diag=DF64.from_f64(self.diag),
+            cx=DF64.from_f64(self.cx),
+            cy=DF64.from_f64(self.cy),
+            cz=DF64.from_f64(self.cz),
+            pinned=self.pinned,
+        )
+
     def diagonal(self) -> jax.Array:
         return self.diag.reshape(-1)
 
@@ -161,3 +176,59 @@ class StarStencil3D:
 
     def __matmul__(self, x):
         return self.mv(x) if x.ndim == 3 else self.mv_flat(x)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["diag", "cx", "cy", "cz"],
+    meta_fields=["pinned"],
+)
+@dataclasses.dataclass
+class StarStencilDF:
+    """Two-float (double-single) twin of StarStencil3D: y = A x carried out
+    entirely in paired-f32 arithmetic (~1.4e-14 relative precision) on the
+    f32 VPU datapath — the fast high-precision apply for TPUs whose f64 is
+    emulated.  Fields are DF64 pytrees (utils/twofloat.py); shifts act on
+    both components (exact), products/sums use error-free transformations.
+    """
+
+    diag: object   # DF64 field (nz, ny, nx)
+    cx: object     # DF64 scalar
+    cy: object     # DF64 scalar
+    cz: object     # DF64 scalar
+    pinned: bool
+
+    def mv(self, x):
+        """y = A @ x with DF64 in/out on the 3D field view."""
+        from tpusparse.utils.twofloat import DF64, df_add, df_mul
+
+        if self.pinned:
+            k = jax.lax.broadcasted_iota(jnp.int32, x.hi.shape, 0)
+            j = jax.lax.broadcasted_iota(jnp.int32, x.hi.shape, 1)
+            i = jax.lax.broadcasted_iota(jnp.int32, x.hi.shape, 2)
+            origin = (k == 0) & (j == 0) & (i == 0)
+            zero = jnp.zeros((), x.hi.dtype)
+            xn = DF64(
+                hi=jnp.where(origin, zero, x.hi),
+                lo=jnp.where(origin, zero, x.lo),
+            )
+        else:
+            xn = x
+
+        def sh(v, axis, direction):
+            return DF64(
+                hi=_shift(v.hi, axis, direction),
+                lo=_shift(v.lo, axis, direction),
+            )
+
+        y = df_mul(self.diag, x)
+        y = df_add(y, df_mul(self.cx, df_add(sh(xn, 2, 1), sh(xn, 2, -1))))
+        y = df_add(y, df_mul(self.cy, df_add(sh(xn, 1, 1), sh(xn, 1, -1))))
+        y = df_add(y, df_mul(self.cz, df_add(sh(xn, 0, 1), sh(xn, 0, -1))))
+        if self.pinned:
+            d = df_mul(self.diag, x)
+            y = DF64(
+                hi=jnp.where(origin, d.hi, y.hi),
+                lo=jnp.where(origin, d.lo, y.lo),
+            )
+        return y
