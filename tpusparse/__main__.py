@@ -26,18 +26,24 @@ def main(argv: list[str] | None = None) -> int:
     from tpusparse.bench.driver import solve_poisson
     from tpusparse.config import load_options
 
+    from tpusparse.utils.profiling import trace
+
     opts = load_options(argv if argv is not None else sys.argv[1:])
-    rep = solve_poisson(
-        opts.da_grid_x,
-        opts.da_grid_y,
-        opts.da_grid_z,
-        rtol=opts.ksp_rtol,
-        atol=opts.ksp_atol,
-        maxiter=opts.ksp_max_it,
-        pc=opts.pc_type,
-        amg_params=opts.amg_params() if opts.pc_type == "gamg" else None,
-        n_devices=opts.devices,
-    )
+    with trace(opts.profile):  # Score-P/nvprof-parity trace when -profile set
+        rep = solve_poisson(
+            opts.da_grid_x,
+            opts.da_grid_y,
+            opts.da_grid_z,
+            rtol=opts.ksp_rtol,
+            atol=opts.ksp_atol,
+            maxiter=opts.ksp_max_it,
+            pc=opts.pc_type,
+            amg_params=opts.amg_params() if opts.pc_type == "gamg" else None,
+            n_devices=opts.devices,
+            precision=opts.precision,
+            layout=opts.layout,
+            ksp=opts.ksp_type,
+        )
     print(rep.reference_block())
     print("JSON:", rep.json_sidecar())
     return 0

@@ -78,6 +78,7 @@ def solve_poisson(
     check_error: bool = True,
     n_devices: int = 1,
     layout: str = "auto",
+    ksp: str = "cg",
 ) -> SolveReport:
     """End-to-end solve with the reference's defaults
     (tolerances: configs/PETSc_SolverOptions_GAMG.info:1-4).
@@ -102,6 +103,12 @@ def solve_poisson(
     if dtype == jnp.float64 and not jax.config.jax_enable_x64:
         raise RuntimeError("enable jax_enable_x64 before building f64 systems")
     mixed = precision in ("mixed", "tf")
+    if ksp == "cg":
+        ksp_solve = cg
+    elif ksp == "pipecg":
+        from tpusparse.solve.pipelined import cg_pipelined as ksp_solve
+    else:
+        raise ValueError(f"unknown ksp {ksp!r} (cg | pipecg)")
 
     t0 = time.perf_counter()
     grid = Grid3D(nx, ny, nz)
@@ -174,7 +181,7 @@ def solve_poisson(
             )
     else:
         def solve_fn(op, op_lo, pc_state, b):
-            return cg(
+            return ksp_solve(
                 op.mv, b, rtol=rtol, atol=atol, maxiter=maxiter,
                 m_mv=m_of(pc_state),
             )

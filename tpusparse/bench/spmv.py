@@ -19,13 +19,25 @@ import jax.numpy as jnp
 
 
 def bench_op(name, fn, *args, flops, bytes_, nnz, reps=20):
+    """Time ``reps`` chained applications inside ONE jitted program.
+
+    Per-dispatch latency through a tunneled backend is 2-4 ms — larger than
+    many kernels being measured — so timing eager dispatches per rep would
+    measure the tunnel, not the chip.  Chaining y -> fn(y) inside a
+    fori_loop amortizes dispatch to nothing and keeps data dependencies so
+    XLA cannot elide iterations.
+    """
     from tpusparse.utils.metrics import KernelStats
 
-    out = jax.block_until_ready(fn(*args))  # compile + warm
+    op, x = args
+
+    @jax.jit
+    def run(op, x):
+        return jax.lax.fori_loop(0, reps, lambda i, v: fn(op, v), x)
+
+    float(jnp.sum(run(op, x)))  # compile + warm (sync via scalar fetch)
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    float(jnp.sum(run(op, x)))
     dt = (time.perf_counter() - t0) / reps
     return KernelStats(name=name, seconds=dt, flops=flops, bytes=bytes_, nnz=nnz)
 
@@ -58,6 +70,28 @@ def run(n: int = 300, reps: int = 20, dtype=jnp.float64):
             nnz=nnz7, reps=reps,
         )
     )
+
+    # resident-padded Pallas form (TPU only; the reference's step-4 analog)
+    from tpusparse.kernels.stencil7 import is_tpu_backend, star7_supported
+
+    if (
+        jnp.dtype(dtype) == jnp.float32
+        and is_tpu_backend()
+        and star7_supported(grid.shape, jnp.float32)
+    ):
+        from tpusparse.sparse.padded import PaddedStar, pad_field
+
+        op_p = PaddedStar.from_star(op)
+        b_p = pad_field(b)
+        stats.append(
+            bench_op(
+                f"stencil7_pallas_resident_{n}^3_f32",
+                lambda o, x: o.mv(x), op_p, b_p,
+                flops=spmv_flops(nnz7, grid.n),
+                bytes_=stencil_mv_traffic(grid.n, vb),
+                nnz=nnz7, reps=reps,
+            )
+        )
 
     # ELL form (width 8)
     a, bh, _ = assemble_poisson(grid, dtype=jnp.dtype(dtype).type)

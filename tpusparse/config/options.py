@@ -58,6 +58,9 @@ class Options:
     # TPU-framework extensions (no PETSc counterpart)
     dtype: str = "float64"
     devices: int = 1                # mesh size (z-sharded)
+    precision: str = "mixed"        # mixed | tf | f64 | f32 (bench/driver.py)
+    layout: str = "auto"            # auto | padded | plain (sparse/padded.py)
+    profile: str = ""               # JAX profiler trace dir ('' = off)
 
     def amg_params(self) -> AMGParams:
         return AMGParams(
@@ -70,8 +73,13 @@ class Options:
         )
 
     def validate(self) -> "Options":
-        if self.ksp_type != "cg":
-            raise ValueError(f"-ksp_type {self.ksp_type}: only 'cg' (KSPCG parity)")
+        if self.ksp_type not in ("cg", "pipecg"):
+            raise ValueError(
+                f"-ksp_type {self.ksp_type}: 'cg' (KSPCG parity) or"
+                f" 'pipecg' (KSPPIPECG parity, solve/pipelined.py)"
+            )
+        if self.precision not in ("mixed", "tf", "f64", "f32"):
+            raise ValueError(f"-precision {self.precision} not supported")
         if self.pc_type not in ("gamg", "jacobi", "none"):
             raise ValueError(f"-pc_type {self.pc_type} not supported")
         if self.pc_gamg_type != "agg":
