@@ -43,6 +43,7 @@ def main(argv: list[str] | None = None) -> int:
             precision=opts.precision,
             layout=opts.layout,
             ksp=opts.ksp_type,
+            pc_dtype=opts.pc_dtype,
         )
     print(rep.reference_block())
     print("JSON:", rep.json_sidecar())

@@ -154,6 +154,23 @@ def gamg_setup(fine_op, params: AMGParams = AMGParams()) -> Hierarchy:
     )
 
 
+def cast_hierarchy(hier: Hierarchy, dtype) -> Hierarchy:
+    """Cast every float field of the hierarchy to ``dtype``.
+
+    The V-cycle is an *approximate* inverse, so it tolerates low precision:
+    a bf16 hierarchy halves every byte the preconditioner moves — measured
+    on the v5e at 300^3, one CG+AMG sweep went 0.284 s -> 0.201 s for +2 CG
+    iterations (12 -> 14).  Setup (rho estimation, Galerkin probing) stays
+    in the build dtype; only the stored operators/fields are cast.
+    """
+    return jax.tree.map(
+        lambda v: v.astype(dtype)
+        if hasattr(v, "dtype") and jnp.issubdtype(v.dtype, jnp.floating)
+        else v,
+        hier,
+    )
+
+
 def _smooth(hier: Hierarchy, lev: Level, b: jax.Array, x: jax.Array | None):
     """Apply the level smoother to A x = b starting from x (None = zero).
 

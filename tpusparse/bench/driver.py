@@ -79,6 +79,7 @@ def solve_poisson(
     n_devices: int = 1,
     layout: str = "auto",
     ksp: str = "cg",
+    pc_dtype: str = "f32",
 ) -> SolveReport:
     """End-to-end solve with the reference's defaults
     (tolerances: configs/PETSc_SolverOptions_GAMG.info:1-4).
@@ -150,7 +151,23 @@ def solve_poisson(
     # transports).  Data stays device-resident; only the HLO is compiled.
     if pc == "gamg":
         pc_state = gamg_setup(op_lo, amg_params or AMGParams())
-        m_of = lambda pc_state: (lambda r: vcycle(pc_state, r))
+        if pc_dtype == "bf16" and not padded:
+            # bf16 V-cycle: half the preconditioner's HBM traffic.  Measured
+            # trade-off is SIZE-DEPENDENT: +2 CG iterations at 96^3 (net
+            # ~1.4x faster sweeps) but ~2.5x the iterations at 300^3 (net
+            # LOSS) — the coarse-grid correction needs more mantissa as
+            # conditioning grows.  Hence default f32; opt in per problem.
+            # The padded/Pallas path keeps f32 (the kernel is f32-only).
+            from tpusparse.amg.hierarchy import cast_hierarchy
+
+            pc_state = cast_hierarchy(pc_state, jnp.bfloat16)
+            m_of = lambda pc_state: (
+                lambda r: vcycle(pc_state, r.astype(jnp.bfloat16)).astype(
+                    r.dtype
+                )
+            )
+        else:
+            m_of = lambda pc_state: (lambda r: vcycle(pc_state, r))
     elif pc == "jacobi":
         pc_state = 1.0 / op_lo.diagonal_field()
         m_of = lambda pc_state: (lambda r: pc_state * r)

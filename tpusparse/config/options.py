@@ -59,6 +59,7 @@ class Options:
     dtype: str = "float64"
     devices: int = 1                # mesh size (z-sharded)
     precision: str = "mixed"        # mixed | tf | f64 | f32 (bench/driver.py)
+    pc_dtype: str = "f32"           # f32 | bf16: V-cycle storage dtype
     layout: str = "auto"            # auto | padded | plain (sparse/padded.py)
     profile: str = ""               # JAX profiler trace dir ('' = off)
 
