@@ -1,5 +1,20 @@
+from tpusparse.sparse.bsr import BSR
+from tpusparse.sparse.coo import COO
 from tpusparse.sparse.csr import HostCSR
 from tpusparse.sparse.ell import ELL
-from tpusparse.sparse.stencil import StarStencil3D
+from tpusparse.sparse.padded import PaddedStar, crop_field, pad_field
+from tpusparse.sparse.stencil import StarStencil3D, StarStencilDF
+from tpusparse.sparse.varstencil import VarStencil27
 
-__all__ = ["HostCSR", "ELL", "StarStencil3D"]
+__all__ = [
+    "BSR",
+    "COO",
+    "HostCSR",
+    "ELL",
+    "PaddedStar",
+    "StarStencil3D",
+    "StarStencilDF",
+    "VarStencil27",
+    "crop_field",
+    "pad_field",
+]
