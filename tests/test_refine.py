@@ -60,3 +60,33 @@ def test_refined_divergence_reported():
         inner_rtol=0.99, inner_maxiter=1,
     )
     assert int(res.reason) < 0
+
+
+def test_stall_detection_at_unattainable_rtol():
+    """At an rtol below the f64 true-residual floor, defect correction must
+    stop with CONVERGED_STALLED (positive) instead of burning max_outer
+    sweeps and reporting divergence."""
+    import numpy as np
+
+    from tpusparse.amg import AMGParams, gamg_setup, vcycle
+    from tpusparse.grid.grid3d import Grid3D
+    from tpusparse.grid.poisson import poisson_stencil
+    from tpusparse.solve.cg import ConvergedReason
+
+    grid = Grid3D(20, 20, 20)
+    op, b, _ = poisson_stencil(grid)
+    op32, _b, _e = poisson_stencil(grid, dtype=np.float32)
+    hier = gamg_setup(op32, AMGParams(coarse_eq_limit=64))
+
+    res = jax.jit(
+        lambda op, op32, h, b: cg_refined(
+            op.mv, op32.mv, b, rtol=1e-30, atol=1e-300, max_outer=12,
+            m_lo_mv=lambda r: vcycle(h, r),
+        )
+    )(op, op32, hier, b)
+    assert int(res.reason) == int(ConvergedReason.CONVERGED_STALLED)
+    assert res.converged()  # positive reason
+    assert int(res.outer_iters) < 12  # did not burn the whole budget
+    # stalled at the attainable floor, which is still very accurate
+    rel = float(res.resnorm / res.bnorm)
+    assert rel < 1e-10

@@ -36,6 +36,12 @@ class ConvergedReason(enum.IntEnum):
 
     CONVERGED_RTOL = 2
     CONVERGED_ATOL = 3
+    # no PETSc counterpart: defect correction reached the attainable
+    # true-residual floor (~ eps * ||A|| ||x|| / ||b||) before rtol.  PETSc's
+    # CG at the same config keeps iterating on the RECURRENCE residual, which
+    # falls below the floor the true residual cannot cross — this reason
+    # makes the distinction explicit instead of mislabeling it divergence.
+    CONVERGED_STALLED = 6
     ITERATING = 0
     DIVERGED_ITS = -3
     DIVERGED_NANORINF = -9

@@ -114,7 +114,10 @@ def cg_refined(
         e = decode(res.x) if decode is not None else res.x
         return e.astype(dt) * rnorm, res.iters
 
-    def classify(rnorm, outer):
+    def classify(rnorm, prev, outer):
+        # stall = a full sweep failed to halve the true residual: the
+        # attainable f64 floor (~eps * ||A|| ||x|| / ||b||) has been reached
+        stalled = (outer >= 2) & (rnorm > 0.5 * prev)
         return jnp.where(
             ~jnp.isfinite(rnorm),
             jnp.int32(ConvergedReason.DIVERGED_NANORINF),
@@ -125,36 +128,44 @@ def cg_refined(
                     rnorm <= tol,
                     jnp.int32(ConvergedReason.CONVERGED_RTOL),
                     jnp.where(
-                        outer >= max_outer,
-                        jnp.int32(ConvergedReason.DIVERGED_ITS),
-                        jnp.int32(ConvergedReason.ITERATING),
+                        stalled,
+                        jnp.int32(ConvergedReason.CONVERGED_STALLED),
+                        jnp.where(
+                            outer >= max_outer,
+                            jnp.int32(ConvergedReason.DIVERGED_ITS),
+                            jnp.int32(ConvergedReason.ITERATING),
+                        ),
                     ),
                 ),
             ),
         )
 
     def cond(state):
-        _x, _r, rnorm, outer, _tot = state
-        return classify(rnorm, outer) == jnp.int32(ConvergedReason.ITERATING)
+        _x, _r, rnorm, prev, outer, _tot = state
+        return classify(rnorm, prev, outer) == jnp.int32(
+            ConvergedReason.ITERATING
+        )
 
     def body(state):
-        x, r, rnorm, outer, tot = state
+        x, r, rnorm, _prev, outer, tot = state
         e, its = inner(r, rnorm)
         x = x + e
         r = b - a_hi_mv(x)  # the one high-precision apply per outer sweep
-        return (x, r, _norm_fast(r), outer + 1, tot + its)
+        return (x, r, _norm_fast(r), rnorm, outer + 1, tot + its)
 
     x0 = jnp.zeros_like(b)
     r0 = b  # x0 = 0
-    state = (x0, r0, _norm_fast(r0), jnp.int32(0), jnp.int32(0))
-    x, _r, rnorm, outer, tot = jax.lax.while_loop(cond, body, state)
+    rn0 = _norm_fast(r0)
+    state = (x0, r0, rn0, jnp.asarray(jnp.inf, rn0.dtype), jnp.int32(0),
+             jnp.int32(0))
+    x, _r, rnorm, prev, outer, tot = jax.lax.while_loop(cond, body, state)
 
     return RefinedResult(
         x=x,
         iters=tot,
         outer_iters=outer,
         resnorm=rnorm,
-        reason=classify(rnorm, outer),
+        reason=classify(rnorm, prev, outer),
         bnorm=bnorm,
     )
 
@@ -212,7 +223,10 @@ def cg_refined_tf(
         e = decode(res.x) if decode is not None else res.x
         return e * rnorm, res.iters
 
-    def classify(rnorm, outer):
+    def classify(rnorm, prev, outer):
+        # stall = a full sweep failed to halve the true residual (the
+        # attainable DF64 floor was reached; see cg_refined)
+        stalled = (outer >= 2) & (rnorm > 0.5 * prev)
         return jnp.where(
             ~jnp.isfinite(rnorm),
             jnp.int32(ConvergedReason.DIVERGED_NANORINF),
@@ -223,35 +237,43 @@ def cg_refined_tf(
                     rnorm <= tol,
                     jnp.int32(ConvergedReason.CONVERGED_RTOL),
                     jnp.where(
-                        outer >= max_outer,
-                        jnp.int32(ConvergedReason.DIVERGED_ITS),
-                        jnp.int32(ConvergedReason.ITERATING),
+                        stalled,
+                        jnp.int32(ConvergedReason.CONVERGED_STALLED),
+                        jnp.where(
+                            outer >= max_outer,
+                            jnp.int32(ConvergedReason.DIVERGED_ITS),
+                            jnp.int32(ConvergedReason.ITERATING),
+                        ),
                     ),
                 ),
             ),
         )
 
     def cond(state):
-        _x, _r, rnorm, outer, _tot = state
-        return classify(rnorm, outer) == jnp.int32(ConvergedReason.ITERATING)
+        _x, _r, rnorm, prev, outer, _tot = state
+        return classify(rnorm, prev, outer) == jnp.int32(
+            ConvergedReason.ITERATING
+        )
 
     def body(state):
-        x, r, rnorm, outer, tot = state
+        x, r, rnorm, _prev, outer, tot = state
         e, its = inner(r, rnorm)
         x = df_add_f32(x, e)                     # exact two-sum accumulation
         ax = a_df.mv(x)
         r = b - ax                                # DF64 residual
-        return (x, r, df_norm2(r), outer + 1, tot + its)
+        return (x, r, df_norm2(r), rnorm, outer + 1, tot + its)
 
     zero = DF64.from_f32(jnp.zeros_like(b.hi))
-    state = (zero, b, df_norm2(b), jnp.int32(0), jnp.int32(0))
-    x, _r, rnorm, outer, tot = jax.lax.while_loop(cond, body, state)
+    rn0 = df_norm2(b)
+    state = (zero, b, rn0, jnp.asarray(jnp.inf, rn0.dtype), jnp.int32(0),
+             jnp.int32(0))
+    x, _r, rnorm, prev, outer, tot = jax.lax.while_loop(cond, body, state)
 
     return RefinedResult(
         x=x.to_f64() if jax.config.jax_enable_x64 else x.hi,
         iters=tot,
         outer_iters=outer,
         resnorm=rnorm.astype(jnp.float64 if jax.config.jax_enable_x64 else f32),
-        reason=classify(rnorm, outer),
+        reason=classify(rnorm, prev, outer),
         bnorm=bnorm.astype(jnp.float64 if jax.config.jax_enable_x64 else f32),
     )
