@@ -91,3 +91,12 @@ def test_cg_chebyshev_on_bsr_poisson():
     assert res.converged()
     linf = float(jnp.max(jnp.abs(res.x - jnp.asarray(exact))))
     assert linf < 5e-2  # O(h^2) at 16^3
+
+
+def test_spmm_matches_dense():
+    m = _rand_bsr(25, 3, 0.12, 11)
+    b = BSR.from_scipy_bsr(m)
+    x = np.random.default_rng(12).standard_normal((m.shape[1], 5))
+    np.testing.assert_allclose(
+        np.asarray(b.mm(jnp.asarray(x))), m @ x, rtol=1e-12, atol=1e-12
+    )

@@ -56,3 +56,20 @@ def test_diagonal_and_roundtrip():
     back = coo.to_csr()
     np.testing.assert_array_equal(back.indptr, a.indptr)
     np.testing.assert_allclose(back.data, a.data, rtol=1e-14)
+
+
+def test_spmm_matches_dense():
+    a = _rand(70, 50, 0.1, 9)
+    x = np.random.default_rng(10).standard_normal((50, 6))
+    ref = a.to_dense() @ x
+    from tpusparse.sparse.coo import COO as _COO
+    from tpusparse.sparse.ell import ELL
+
+    coo = _COO.from_csr(a)
+    np.testing.assert_allclose(
+        np.asarray(coo.mm(jnp.asarray(x))), ref, rtol=1e-12, atol=1e-12
+    )
+    ell = ELL.from_csr(a)
+    np.testing.assert_allclose(
+        np.asarray(ell.mm(jnp.asarray(x))), ref, rtol=1e-12, atol=1e-12
+    )

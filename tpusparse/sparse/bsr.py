@@ -137,6 +137,19 @@ class BSR:
         )
         return yb.reshape(-1)
 
+    def mm(self, x: jax.Array) -> jax.Array:
+        """Y = A @ X for X of shape (n_cols, k) (SpMM over block rows)."""
+        k = x.shape[1]
+        xb = x.reshape(-1, self.bs, k)                   # (nbcols, bs, k)
+        contrib = jnp.einsum(
+            "nij,njk->nik", self.blocks, xb[self.bcols]
+        )                                                # (nnzb, bs, k)
+        yb = jax.ops.segment_sum(
+            contrib, self.brows, num_segments=self.n_brows,
+            indices_are_sorted=True,
+        )
+        return yb.reshape(-1, k)
+
     def diagonal(self) -> jax.Array:
         """Scalar diagonal (diagonal entries of diagonal blocks)."""
         on_diag = self.brows == self.bcols

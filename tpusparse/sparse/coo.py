@@ -95,6 +95,14 @@ class COO:
             indices_are_sorted=self.rows_sorted,
         )
 
+    def mm(self, x: jax.Array) -> jax.Array:
+        """Y = A @ X for X of shape (n_cols, k) (SpMM)."""
+        contrib = self.vals[:, None] * x[self.cols]
+        return jax.ops.segment_sum(
+            contrib, self.rows, num_segments=self.shape[0],
+            indices_are_sorted=self.rows_sorted,
+        )
+
     def rmv(self, y: jax.Array) -> jax.Array:
         """x = A^T @ y (segment-sum over columns)."""
         contrib = self.vals * y[self.rows]

@@ -121,6 +121,16 @@ class ELL:
         fused gather-multiply-reduce over static shapes."""
         return jnp.sum(self.vals * x[self.cols], axis=1)
 
+    def mm(self, x: jax.Array) -> jax.Array:
+        """Y = A @ X for a dense block of right-hand sides X: (n_cols, k).
+
+        SpMM in the MatMatMult sense: one gather of X rows per stored entry,
+        fused multiply, reduce over the width axis — the multi-vector form
+        amortizes the column-index traffic over k values.
+        """
+        # (n_rows, width, k): gather rows of X then scale by vals
+        return jnp.einsum("rw,rwk->rk", self.vals, x[self.cols])
+
     def rmv(self, y: jax.Array) -> jax.Array:
         """x = A^T @ y via scatter-add (segment-sum over stored entries).
 
