@@ -93,3 +93,27 @@ def test_direct_solve_convergence_order():
     assert 3.0 < rate01 < 5.0, errs
     assert 3.0 < rate12 < 5.0, errs
     assert errs[-1] < 5e-2
+
+
+def test_device_assembly_matches_host():
+    """poisson_stencil_device == poisson_stencil to ulp-level (libm vs XLA
+    cos) for both pin settings."""
+    import jax.numpy as jnp
+
+    from tpusparse.grid.poisson import poisson_stencil, poisson_stencil_device
+
+    grid = Grid3D(10, 8, 12)
+    for pin in (True, False):
+        op_h, b_h, e_h = poisson_stencil(grid, pin=pin)
+        op_d, b_d, e_d = poisson_stencil_device(grid, pin=pin)
+        np.testing.assert_allclose(
+            np.asarray(op_d.diag), np.asarray(op_h.diag), rtol=1e-14
+        )
+        assert float(op_d.cx) == float(op_h.cx)
+        np.testing.assert_allclose(
+            np.asarray(b_d), np.asarray(b_h), rtol=1e-13, atol=1e-13
+        )
+        np.testing.assert_allclose(
+            np.asarray(e_d), np.asarray(e_h), rtol=1e-14, atol=1e-15
+        )
+        assert op_d.pinned == pin

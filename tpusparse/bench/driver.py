@@ -21,7 +21,7 @@ import numpy as np
 
 from tpusparse.amg import AMGParams, gamg_setup, vcycle
 from tpusparse.grid.grid3d import Grid3D
-from tpusparse.grid.poisson import poisson_stencil
+from tpusparse.grid.poisson import poisson_stencil_device as poisson_stencil
 from tpusparse.solve import cg
 
 

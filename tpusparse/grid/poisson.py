@@ -18,6 +18,8 @@ the sign symmetrically.
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 
 from tpusparse.grid.grid3d import Grid3D
@@ -135,6 +137,75 @@ def assemble_poisson(
         shape=(n, n),
     )
     return a, b, exact
+
+
+def poisson_stencil_device(grid: Grid3D, pin: bool = True, dtype=np.float64):
+    """Device-side twin of ``poisson_stencil``: every field is computed with
+    jnp ops ON the accelerator — no host assembly, no host→device transfer.
+
+    Why it exists: at 300^3 the host path materializes ~650 MB of f64 fields
+    in numpy and ships them through the device transport, costing 10-20 s of
+    the driver's ``init`` phase on a tunneled TPU; this path compiles a tiny
+    program instead.  Values agree with the host path to 1-2 ulp (libm vs
+    XLA cos).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tpusparse.sparse.stencil import StarStencil3D
+
+    dt = jnp.dtype(dtype)
+    nz, ny, nx = grid.shape
+    ax = 1.0 / (grid.dx * grid.dx)
+    ay = 1.0 / (grid.dy * grid.dy)
+    az = 1.0 / (grid.dz * grid.dz)
+
+    @partial(jax.jit, static_argnames=())
+    def build():
+        cxs = jnp.cos(C1 * (jnp.arange(nx, dtype=dt) + 0.5) * grid.dx)
+        cys = jnp.cos(C1 * (jnp.arange(ny, dtype=dt) + 0.5) * grid.dy)
+        czs = jnp.cos(C1 * (jnp.arange(nz, dtype=dt) + 0.5) * grid.dz)
+        exact = czs[:, None, None] * cys[None, :, None] * cxs[None, None, :]
+        b = jnp.asarray(C2, dt) * exact
+
+        k = jnp.arange(nz, dtype=jnp.int32)[:, None, None]
+        j = jnp.arange(ny, dtype=jnp.int32)[None, :, None]
+        i = jnp.arange(nx, dtype=jnp.int32)[None, None, :]
+        # NB: bool + bool saturates (logical or) — cast each mask first
+        diag = -(
+            ax * ((i > 0).astype(dt) + (i < nx - 1).astype(dt))
+            + ay * ((j > 0).astype(dt) + (j < ny - 1).astype(dt))
+            + az * ((k > 0).astype(dt) + (k < nz - 1).astype(dt))
+        )
+        if pin:
+            # mean of the diagonal, closed form (each interior face pair
+            # contributes -coef to two rows)
+            sum_diag = -2.0 * (
+                ax * (nx - 1) * ny * nz
+                + ay * (ny - 1) * nx * nz
+                + az * (nz - 1) * nx * ny
+            )
+            scale = jnp.asarray(sum_diag / grid.n, dt)
+            e0 = exact[0, 0, 0]
+            if nx > 1:
+                b = b.at[0, 0, 1].add(-jnp.asarray(ax, dt) * e0)
+            if ny > 1:
+                b = b.at[0, 1, 0].add(-jnp.asarray(ay, dt) * e0)
+            if nz > 1:
+                b = b.at[1, 0, 0].add(-jnp.asarray(az, dt) * e0)
+            diag = diag.at[0, 0, 0].set(scale)
+            b = b.at[0, 0, 0].set(scale * e0)
+        return diag, b, exact
+
+    diag, b, exact = build()
+    op = StarStencil3D(
+        diag=diag,
+        cx=jnp.asarray(ax, dt),
+        cy=jnp.asarray(ay, dt),
+        cz=jnp.asarray(az, dt),
+        pinned=bool(pin),
+    )
+    return op, b, exact
 
 
 def poisson_stencil(grid: Grid3D, pin: bool = True, dtype=np.float64):
