@@ -117,20 +117,15 @@ def solve_poisson(
     # low-precision twin for the inner solves (also the AMG's home dtype)
     op_lo = poisson_stencil(grid, dtype=np.float32)[0] if mixed else op
 
-    # padded-resident inner layout (sparse/padded.py): zero per-apply
-    # pad/unpad traffic on the hottest kernel.  "auto": on for mixed/tf
-    # single-device TPU runs with Pallas-supported shapes.
-    from tpusparse.kernels.stencil7 import is_tpu_backend, star7_supported
-
+    # padded-resident inner layout (sparse/padded.py).  "auto" resolves to
+    # the plain layout: measured on the v5e chip, XLA's fused stencil +
+    # smoother pipeline with the matmul transfers beats the padded/Pallas
+    # pipeline (0.73 s vs 0.88 s for 35 inner iterations at 300^3) because
+    # the custom call blocks elementwise fusion around each apply.  The
+    # padded path stays selectable and becomes the target once the kernel
+    # fuses its neighbors' work.
     if layout not in ("auto", "padded", "plain"):
         raise ValueError(f"unknown layout {layout!r}")
-    # NOTE: "auto" currently resolves to the plain layout: measured on the
-    # v5e chip, XLA's fused stencil+smoother pipeline with the matmul
-    # transfers beats the padded/Pallas pipeline (0.73 s vs 0.88 s for 35
-    # inner iterations at 300^3) because the custom call blocks elementwise
-    # fusion around each apply.  The padded path remains selectable and
-    # becomes the target once the kernel fuses its neighbors' work.
-    del is_tpu_backend, star7_supported  # (kept imported for layout="auto" evolution)
     padded = mixed and n_devices == 1 and layout == "padded"
     encode = decode = None
     if padded:

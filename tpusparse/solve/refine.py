@@ -33,7 +33,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-from tpusparse.solve.cg import CGResult, ConvergedReason, cg, _dot
+from tpusparse.solve.cg import CGResult, ConvergedReason, cg
 
 
 def _norm_fast(r: jax.Array) -> jax.Array:
