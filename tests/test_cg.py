@@ -80,3 +80,51 @@ def test_cg_atol_reason():
     b = np.full(n, 1e-30)
     res = cg(lambda x: jnp.asarray(a) @ x, jnp.asarray(b), rtol=1e-30, atol=1e-12)
     assert int(res.reason) == ConvergedReason.CONVERGED_ATOL
+
+
+def test_cg_hostloop_matches_cg():
+    """The gather-safe host-chunked driver follows the same iteration
+    sequence as cg (exact state carry), converging to the same solution."""
+    import numpy as np
+
+    from tpusparse.grid.grid3d import Grid3D
+    from tpusparse.grid.poisson import assemble_poisson
+    from tpusparse.solve.cg import cg_hostloop
+    from tpusparse.sparse.ell import ELL
+
+    grid = Grid3D(12, 12, 12)
+    a, rhs, exact = assemble_poisson(grid)
+    ell = ELL.from_csr(a)
+    b = jnp.asarray(rhs)
+
+    r_ref = cg(lambda v: ell.mv(v), b, rtol=1e-10, maxiter=3000)
+    r_host = cg_hostloop(
+        lambda e, v: e.mv(v), ell, b, rtol=1e-10, maxiter=3000, chunk=50
+    )
+    assert r_ref.converged() and r_host.converged()
+    # host loop may overrun by < chunk iterations
+    assert int(r_host.iters) - int(r_ref.iters) < 50
+    np.testing.assert_allclose(
+        np.asarray(r_host.x), np.asarray(r_ref.x), rtol=1e-7, atol=1e-9
+    )
+
+
+def test_cg_hostloop_preconditioned():
+    import numpy as np
+
+    from tpusparse.grid.grid3d import Grid3D
+    from tpusparse.grid.poisson import assemble_poisson
+    from tpusparse.solve.cg import cg_hostloop
+    from tpusparse.sparse.ell import ELL
+
+    grid = Grid3D(14, 14, 14)
+    a, rhs, exact = assemble_poisson(grid)
+    ell = ELL.from_csr(a)
+    dinv = jnp.asarray(1.0 / a.diagonal())
+    res = cg_hostloop(
+        lambda e, v: e.mv(v), ell, jnp.asarray(rhs), rtol=1e-8,
+        maxiter=3000, m_apply=lambda d, r: d * r, m_state=dinv,
+    )
+    assert res.converged()
+    linf = float(jnp.max(jnp.abs(res.x - jnp.asarray(exact))))
+    assert linf < 5e-2

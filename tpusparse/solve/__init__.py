@@ -1,10 +1,11 @@
-from tpusparse.solve.cg import CGResult, ConvergedReason, cg
+from tpusparse.solve.cg import CGResult, ConvergedReason, cg, cg_hostloop
 from tpusparse.solve.checkpoint import CheckpointConfig, cg_checkpointed
 from tpusparse.solve.pipelined import cg_pipelined
 from tpusparse.solve.refine import RefinedResult, cg_refined, cg_refined_tf
 
 __all__ = [
     "cg",
+    "cg_hostloop",
     "cg_pipelined",
     "cg_refined",
     "cg_refined_tf",

@@ -164,3 +164,98 @@ def cg(
     if return_state:
         return result, out
     return result
+
+
+def cg_hostloop(
+    a_apply: Callable,
+    op,
+    b: jax.Array,
+    *,
+    rtol: float = 1e-5,
+    atol: float = 1e-50,
+    maxiter: int = 10000,
+    m_apply: Callable | None = None,
+    m_state=None,
+    chunk: int = 64,
+) -> CGResult:
+    """CG as fixed-trip ``fori_loop`` chunks with host-side convergence checks.
+
+    ``a_apply(op, x)`` applies the operator; ``m_apply(m_state, r)`` the
+    preconditioner (identity when None).  Operator/preconditioner state is
+    passed as explicit pytree ARGUMENTS (never closures — closed-over device
+    arrays get baked into the HLO as literal constants).
+
+    Same math and convergence contract as ``cg`` (the chunks carry the exact
+    Krylov state, so the iteration sequence is identical up to the check
+    granularity).  Exists because the deployed v5e libtpu crashes its worker
+    when gather-based operators (ELL/COO/BSR mv) run inside a
+    ``lax.while_loop`` at >= ~2M rows, while identical bodies inside
+    fixed-trip ``fori_loop``s are fine — this is the gather-safe driver for
+    the unstructured path on that toolchain.  Costs one dispatch (~ms) per
+    ``chunk`` iterations and may run up to chunk-1 extra iterations past
+    convergence.
+
+    NOT jit-compatible as a whole (it IS the host loop); each chunk is one
+    jitted program, cached across calls via the usual jit cache.
+    """
+    import numpy as _np
+
+    if m_apply is None:
+        m_apply = lambda _ms, r: r
+        m_state = jnp.zeros(())
+
+    dt = b.dtype
+    bnorm = jnp.sqrt(_dot(b, b)).astype(dt)
+    tol = jnp.maximum(jnp.asarray(rtol, dt) * bnorm, jnp.asarray(atol, dt))
+
+    @jax.jit
+    def start(op, m_state, b):
+        x0 = jnp.zeros_like(b)
+        r0 = b
+        z0 = m_apply(m_state, r0)
+        return (x0, r0, z0, z0, _dot(r0, z0), jnp.sqrt(_dot(r0, r0)))
+
+    @partial(jax.jit, static_argnames=("n",))
+    def run_chunk(op, m_state, state, n: int):
+        def body(_i, st):
+            x, r, z, p, rz, _rn = st
+            ap = a_apply(op, p)
+            alpha = rz / _dot(p, ap)
+            x = x + alpha * p
+            r = r - alpha * ap
+            z = m_apply(m_state, r)
+            rz_new = _dot(r, z)
+            beta = rz_new / rz
+            p = z + beta * p
+            return (x, r, z, p, rz_new, jnp.sqrt(_dot(r, r)))
+
+        return jax.lax.fori_loop(0, n, body, state)
+
+    state = start(op, m_state, b)
+    it = 0
+    rnorm = state[5]
+    while it < maxiter:
+        n = min(chunk, maxiter - it)
+        rn = float(rnorm)
+        if not _np.isfinite(rn) or rn <= float(tol):
+            break
+        state = run_chunk(op, m_state, state, n)
+        rnorm = state[5]
+        it += n
+
+    rn = float(rnorm)
+    if not _np.isfinite(rn):
+        reason = jnp.int32(ConvergedReason.DIVERGED_NANORINF)
+    elif rn <= float(jnp.asarray(atol, dt)):
+        reason = jnp.int32(ConvergedReason.CONVERGED_ATOL)
+    elif rn <= float(tol):
+        reason = jnp.int32(ConvergedReason.CONVERGED_RTOL)
+    else:
+        reason = jnp.int32(ConvergedReason.DIVERGED_ITS)
+    return CGResult(
+        x=state[0],
+        iters=jnp.int32(it),
+        resnorm=rnorm,
+        reason=reason,
+        bnorm=bnorm,
+    )

@@ -14,9 +14,10 @@ work.
 
 Known issue (deployed v5e libtpu, 2026-08): gather-based sparse mv inside a
 ``lax.while_loop`` crashes the TPU worker at >= ~2M rows (each constituent
-op is fine in isolation; CG + this mv at 64^3 is fine).  Tracked for a
-Pallas-gather fallback; the structured stencil path — the benchmark path —
-is unaffected.
+op is fine in isolation; CG + this mv at 64^3 is fine).  Workaround shipped:
+``solve/cg.cg_hostloop`` drives CG as fixed-trip fori_loop chunks (verified
+on-chip at 128^3) — use it for large gather-based solves on that toolchain.
+The structured stencil path — the benchmark path — is unaffected.
 """
 
 from __future__ import annotations

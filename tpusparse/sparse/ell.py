@@ -2,10 +2,19 @@
 
 Why ELL and not CSR on TPU: CSR's ragged rows defeat the VPU's 8x128 tiling
 and force scalar indptr walks.  Padding every row to a fixed width turns SpMV
-into three dense, perfectly-tiled arrays — ``vals * x[cols]`` summed along the
-width axis — which XLA lowers to a vectorized gather + reduction with no
-dynamic shapes.  Padded slots store ``col = 0, val = 0`` so the gather is
-always in-bounds and mask-free.
+into dense, perfectly-tiled arrays — ``vals * x[cols]`` reduced along the
+width axis — a vectorized gather + reduction with no dynamic shapes.  Padded
+slots store ``col = 0, val = 0`` so the gather is always in-bounds and
+mask-free.
+
+Layout: arrays are stored **width-major**, shape ``(width, n_rows)`` — the
+ELL "column-major" convention.  This matters enormously on TPU: a
+``(n_rows, width)`` layout puts the small width in the minor (lane) dimension
+and every (8,128)-tiled temp pads width → 128, a **16x memory expansion**
+(measured: 13 GB of HLO temps for a 27M-row mv, OOMing the chip and crashing
+the TPU worker inside solver loops).  Width-major keeps n_rows in the lane
+dimension — negligible padding — and the mv is ``width`` contiguous gathers
+of full rows.
 
 Residency parity: the reference's step-2 optimization keeps the CSR arrays
 resident on the GPU across MatMults and moves only x/y per call
@@ -32,10 +41,10 @@ import numpy as np
 )
 @dataclasses.dataclass
 class ELL:
-    """Padded-ELL matrix: ``cols``/``vals`` of shape (n_rows, width)."""
+    """Padded-ELL matrix: ``cols``/``vals`` of shape (width, n_rows)."""
 
-    cols: jax.Array  # (n_rows, width) int32; padded entries = 0
-    vals: jax.Array  # (n_rows, width) float; padded entries = 0
+    cols: jax.Array  # (width, n_rows) int32; padded entries = 0
+    vals: jax.Array  # (width, n_rows) float; padded entries = 0
     shape: tuple[int, int]
 
     # --- properties --------------------------------------------------------
@@ -49,7 +58,7 @@ class ELL:
 
     @property
     def width(self) -> int:
-        return self.cols.shape[1]
+        return self.cols.shape[0]
 
     @property
     def dtype(self):
@@ -86,9 +95,9 @@ class ELL:
             raise ValueError(
                 f"width {w} < max row nnz {int(row_nnz.max())}"
             )
-        # entry e of row r lives at csr.indptr[r] + e
-        pos = csr.indptr[:-1, None] + np.arange(w, dtype=np.int64)[None, :]
-        mask = np.arange(w, dtype=np.int64)[None, :] < row_nnz[:, None]
+        # entry e of row r lives at csr.indptr[r] + e; store WIDTH-MAJOR
+        pos = csr.indptr[None, :-1] + np.arange(w, dtype=np.int64)[:, None]
+        mask = np.arange(w, dtype=np.int64)[:, None] < row_nnz[None, :]
         pos = np.where(mask, pos, 0)
         cols = np.where(mask, csr.indices[pos], 0).astype(np.int32)
         data = csr.data.astype(dtype) if dtype is not None else csr.data
@@ -106,7 +115,7 @@ class ELL:
         vals = np.asarray(jax.device_get(self.vals))
         keep = vals != 0
         rows = np.broadcast_to(
-            np.arange(self.n_rows)[:, None], cols.shape
+            np.arange(self.n_rows)[None, :], cols.shape
         )[keep]
         m = sp.csr_matrix(
             (vals[keep], (rows, cols[keep])), shape=self.shape
@@ -117,33 +126,32 @@ class ELL:
 
     # --- operators ----------------------------------------------------------
     def mv(self, x: jax.Array) -> jax.Array:
-        """y = A @ x.  MatMult_SeqAIJ parity (PETSc aij.c:1277-1335), as one
-        fused gather-multiply-reduce over static shapes."""
-        return jnp.sum(self.vals * x[self.cols], axis=1)
+        """y = A @ x.  MatMult_SeqAIJ parity (PETSc aij.c:1277-1335):
+        ``width`` full-row gathers, fused multiply, reduce over width."""
+        return jnp.sum(self.vals * x[self.cols], axis=0)
 
     def mm(self, x: jax.Array) -> jax.Array:
         """Y = A @ X for a dense block of right-hand sides X: (n_cols, k).
 
-        SpMM in the MatMatMult sense: one gather of X rows per stored entry,
-        fused multiply, reduce over the width axis — the multi-vector form
-        amortizes the column-index traffic over k values.
+        SpMM in the MatMatMult sense: the multi-vector form amortizes the
+        column-index traffic over k values.
         """
-        # (n_rows, width, k): gather rows of X then scale by vals
-        return jnp.einsum("rw,rwk->rk", self.vals, x[self.cols])
+        # (width, n_rows, k): gather rows of X then scale by vals
+        return jnp.einsum("wr,wrk->rk", self.vals, x[self.cols])
 
     def rmv(self, y: jax.Array) -> jax.Array:
         """x = A^T @ y via scatter-add (segment-sum over stored entries).
 
         Used for restriction R r = P^T r without materializing P^T.
         """
-        contrib = (self.vals * y[:, None]).reshape(-1)
+        contrib = (self.vals * y[None, :]).reshape(-1)
         segs = self.cols.reshape(-1)
         return jax.ops.segment_sum(contrib, segs, num_segments=self.n_cols)
 
     def diagonal(self) -> jax.Array:
-        rows = jnp.arange(self.n_rows, dtype=self.cols.dtype)[:, None]
+        rows = jnp.arange(self.n_rows, dtype=self.cols.dtype)[None, :]
         on_diag = (self.cols == rows) & (self.vals != 0)
-        return jnp.sum(jnp.where(on_diag, self.vals, 0), axis=1)
+        return jnp.sum(jnp.where(on_diag, self.vals, 0), axis=0)
 
     def __matmul__(self, x):
         return self.mv(x)
