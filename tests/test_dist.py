@@ -88,3 +88,23 @@ def test_custom_mesh_shape():
     np.testing.assert_allclose(
         np.asarray(y), np.asarray(op.mv(b)), rtol=1e-13, atol=1e-13
     )
+
+
+def test_driver_multidevice_mixed_end_to_end():
+    """Full driver path with n_devices=8 and mixed precision: exercises the
+    sharded op/hierarchy placement, the f32 twin, and the defect-correction
+    loop under GSPMD."""
+    from tpusparse.bench.driver import solve_poisson
+
+    rep = solve_poisson(
+        16, rtol=1e-8, pc="gamg", precision="mixed", n_devices=8,
+        warmup=False,
+    )
+    assert rep.reason > 0
+    assert rep.linf_error < 5e-2  # O(h^2) at 16^3
+    rep1 = solve_poisson(
+        16, rtol=1e-8, pc="gamg", precision="mixed", n_devices=1,
+        warmup=False,
+    )
+    assert abs(rep.iters - rep1.iters) <= 3
+    assert abs(rep.linf_error - rep1.linf_error) < 1e-6
