@@ -93,7 +93,9 @@ def cg(
     conjugacy history — used by solve/checkpoint.py).  The state's iteration
     counter is global, so a resumed call should raise ``maxiter`` accordingly.
 
-    Jit-compatible: call under ``jax.jit`` with static rtol/atol/maxiter.
+    Jit-compatible: call under ``jax.jit``; ``maxiter`` must be static,
+    ``rtol``/``atol`` may be python floats or traced scalars (the adaptive
+    inner tolerances in solve/refine.py pass traced values).
     """
     if m_mv is None:
         m_mv = lambda r: r
