@@ -87,3 +87,22 @@ def test_sharded_matches_single(n_dev):
     np.testing.assert_allclose(
         np.asarray(r_single.x), np.asarray(r_shard.x), rtol=1e-8, atol=1e-10
     )
+
+
+def test_driver_pipecg_requires_uniform_precision():
+    """pipecg + mixed precision is rejected up front (measured on-chip: the
+    pipelined recurrences NaN as the f32 inner solver at >=144^3); the
+    uniform-precision path works."""
+    import pytest
+
+    from tpusparse.bench.driver import solve_poisson
+
+    with pytest.raises(ValueError, match="pipecg"):
+        solve_poisson(16, rtol=1e-8, precision="mixed", ksp="pipecg")
+
+    rep = solve_poisson(
+        16, rtol=1e-6, pc="gamg", precision="f64", ksp="pipecg",
+        warmup=False,
+    )
+    assert rep.reason > 0
+    assert rep.linf_error < 5e-2

@@ -107,6 +107,17 @@ def solve_poisson(
     if ksp == "cg":
         ksp_solve = cg
     elif ksp == "pipecg":
+        if precision in ("mixed", "tf"):
+            # measured on-chip: pipelined recurrences NaN out as the f32
+            # INNER solver of defect correction at >=144^3 (the extra
+            # auxiliary recurrences amplify f32 rounding; classic CG is
+            # fine).  pipecg is for uniform-precision solves where its
+            # single fused reduction pays off.
+            raise ValueError(
+                "-ksp_type pipecg requires -precision f64 or f32 "
+                "(pipelined recurrences are unstable as the f32 inner "
+                "solver of mixed-precision defect correction)"
+            )
         from tpusparse.solve.pipelined import cg_pipelined as ksp_solve
     else:
         raise ValueError(f"unknown ksp {ksp!r} (cg | pipecg)")
@@ -182,6 +193,7 @@ def solve_poisson(
             return cg_refined_tf(
                 op_df, op_lo.mv, b, rtol=rtol, atol=atol,
                 m_lo_mv=m_of(pc_state), encode=encode, decode=decode,
+                solver=ksp_solve,
             )
     elif mixed:
         from tpusparse.solve.refine import cg_refined
@@ -190,6 +202,7 @@ def solve_poisson(
             return cg_refined(
                 op.mv, op_lo.mv, b, rtol=rtol, atol=atol,
                 m_lo_mv=m_of(pc_state), encode=encode, decode=decode,
+                solver=ksp_solve,
             )
     else:
         def solve_fn(op, op_lo, pc_state, b):

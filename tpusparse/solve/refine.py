@@ -83,6 +83,7 @@ def cg_refined(
     lo_dtype=jnp.float32,
     encode: Callable | None = None,
     decode: Callable | None = None,
+    solver: Callable = cg,
 ) -> RefinedResult:
     """Solve A x = b to high-precision tolerances with low-precision inners.
 
@@ -107,7 +108,7 @@ def cg_refined(
         need = jnp.clip(
             0.25 * tol / rnorm, inner_rtol, 0.5
         ).astype(jnp.float32)
-        res = cg(
+        res = solver(
             a_lo_mv, r_lo, rtol=need, maxiter=inner_maxiter,
             m_mv=m_lo_mv,
         )
@@ -183,6 +184,7 @@ def cg_refined_tf(
     m_lo_mv: Callable | None = None,
     encode: Callable | None = None,
     decode: Callable | None = None,
+    solver: Callable = cg,
 ) -> RefinedResult:
     """Defect correction with a **two-float** outer loop — no f64 anywhere.
 
@@ -216,7 +218,7 @@ def cg_refined_tf(
             r_lo = encode(r_lo)
         # adaptive inner tolerance (see cg_refined.inner)
         need = jnp.clip(0.25 * tol / rnorm, inner_rtol, 0.5)
-        res = cg(
+        res = solver(
             a_lo_mv, r_lo, rtol=need, maxiter=inner_maxiter,
             m_mv=m_lo_mv,
         )
