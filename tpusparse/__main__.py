@@ -44,6 +44,7 @@ def main(argv: list[str] | None = None) -> int:
             layout=opts.layout,
             ksp=opts.ksp_type,
             pc_dtype=opts.pc_dtype,
+            mg_cycle=opts.pc_mg_cycle_type,
         )
     print(rep.reference_block())
     print("JSON:", rep.json_sidecar())

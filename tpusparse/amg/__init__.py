@@ -1,3 +1,17 @@
-from tpusparse.amg.hierarchy import AMGParams, Hierarchy, gamg_setup, vcycle
+from tpusparse.amg.hierarchy import (
+    AMGParams,
+    Hierarchy,
+    cast_hierarchy,
+    gamg_setup,
+    vcycle,
+    wcycle,
+)
 
-__all__ = ["AMGParams", "Hierarchy", "gamg_setup", "vcycle"]
+__all__ = [
+    "AMGParams",
+    "Hierarchy",
+    "cast_hierarchy",
+    "gamg_setup",
+    "vcycle",
+    "wcycle",
+]

@@ -207,10 +207,15 @@ def _smooth(hier: Hierarchy, lev: Level, b: jax.Array, x: jax.Array | None):
     return x
 
 
-def vcycle(hier: Hierarchy, b: jax.Array, level: int = 0) -> jax.Array:
-    """One V(1,1) cycle solving A_l e = b from a zero initial guess.
+def vcycle(
+    hier: Hierarchy, b: jax.Array, level: int = 0, gamma: int = 1
+) -> jax.Array:
+    """One multigrid cycle solving A_l e = b from a zero initial guess.
 
-    Smoother per ``hier.smoother`` (chebyshev default; richardson+Jacobi =
+    ``gamma`` is the cycle index (PETSc ``-pc_mg_cycle_type``): 1 = V-cycle
+    (default), 2 = W-cycle (the coarse problem is visited twice per level —
+    stronger per application, ~2x the coarse-level work).  Smoother per
+    ``hier.smoother`` (chebyshev default; richardson+Jacobi =
     reference-config parity); coarse solve: preonly + Jacobi
     (``configs/PETSc_SolverOptions_GAMG.info:10-21``).  Symmetric (same
     smoother pre/post), so the cycle is a valid CG preconditioner.
@@ -221,6 +226,19 @@ def vcycle(hier: Hierarchy, b: jax.Array, level: int = 0) -> jax.Array:
     x = _smooth(hier, lev, b, None)
     r = b - lev.op.mv(x)
     e_c = lev.transfer.restrict(lev.op, lev.dinv, r)
-    e = vcycle(hier, e_c, level + 1)
+    e = vcycle(hier, e_c, level + 1, gamma)
+    for _ in range(gamma - 1):
+        # W-cycle: re-enter the coarse hierarchy on the updated residual
+        r_c = e_c - _coarse_mv(hier, level + 1, e)
+        e = e + vcycle(hier, r_c, level + 1, gamma)
     x = x + lev.transfer.prolong(lev.op, lev.dinv, e)
     return _smooth(hier, lev, b, x)
+
+
+def _coarse_mv(hier: Hierarchy, level: int, x: jax.Array) -> jax.Array:
+    return hier.levels[level].op.mv(x)
+
+
+def wcycle(hier: Hierarchy, b: jax.Array) -> jax.Array:
+    """W-cycle preconditioner application (``-pc_mg_cycle_type w``)."""
+    return vcycle(hier, b, gamma=2)

@@ -80,6 +80,7 @@ def solve_poisson(
     layout: str = "auto",
     ksp: str = "cg",
     pc_dtype: str = "f32",
+    mg_cycle: str = "v",
 ) -> SolveReport:
     """End-to-end solve with the reference's defaults
     (tolerances: configs/PETSc_SolverOptions_GAMG.info:1-4).
@@ -155,6 +156,9 @@ def solve_poisson(
     # closed over — a closure would bake hundreds of MB of fields into the
     # program as literal constants (and, e.g., overflow remote-compile
     # transports).  Data stays device-resident; only the HLO is compiled.
+    if mg_cycle not in ("v", "w"):
+        raise ValueError(f"unknown mg_cycle {mg_cycle!r}")
+    gamma = 1 if mg_cycle == "v" else 2
     if pc == "gamg":
         pc_state = gamg_setup(op_lo, amg_params or AMGParams())
         if pc_dtype == "bf16" and not padded:
@@ -168,12 +172,14 @@ def solve_poisson(
 
             pc_state = cast_hierarchy(pc_state, jnp.bfloat16)
             m_of = lambda pc_state: (
-                lambda r: vcycle(pc_state, r.astype(jnp.bfloat16)).astype(
-                    r.dtype
-                )
+                lambda r: vcycle(
+                    pc_state, r.astype(jnp.bfloat16), gamma=gamma
+                ).astype(r.dtype)
             )
         else:
-            m_of = lambda pc_state: (lambda r: vcycle(pc_state, r))
+            m_of = lambda pc_state: (
+                lambda r: vcycle(pc_state, r, gamma=gamma)
+            )
     elif pc == "jacobi":
         pc_state = 1.0 / op_lo.diagonal_field()
         m_of = lambda pc_state: (lambda r: pc_state * r)

@@ -51,6 +51,7 @@ class Options:
     mg_levels_pc_type: str = "bjacobi"
     mg_levels_sub_pc_type: str = "jacobi"
     mg_levels_ksp_richardson_scale: float = 1.0
+    pc_mg_cycle_type: str = "v"            # v | w (amg/hierarchy.vcycle gamma)
     mg_coarse_ksp_type: str = "preonly"
     mg_coarse_pc_type: str = "bjacobi"
     mg_coarse_sub_pc_type: str = "jacobi"
@@ -89,6 +90,8 @@ class Options:
             raise ValueError(
                 "-mg_levels_ksp_type: 'richardson' or 'chebyshev'"
             )
+        if self.pc_mg_cycle_type not in ("v", "w"):
+            raise ValueError("-pc_mg_cycle_type: 'v' or 'w'")
         if self.mg_coarse_ksp_type != "preonly":
             raise ValueError("-mg_coarse_ksp_type: only 'preonly'")
         return self

@@ -2,6 +2,7 @@ from tpusparse.solve.cg import CGResult, ConvergedReason, cg, cg_hostloop
 from tpusparse.solve.checkpoint import CheckpointConfig, cg_checkpointed
 from tpusparse.solve.pipelined import cg_pipelined
 from tpusparse.solve.refine import RefinedResult, cg_refined, cg_refined_tf
+from tpusparse.solve.simple import preonly, richardson
 
 __all__ = [
     "cg",
@@ -10,6 +11,8 @@ __all__ = [
     "cg_refined",
     "cg_refined_tf",
     "cg_checkpointed",
+    "richardson",
+    "preonly",
     "CGResult",
     "ConvergedReason",
     "RefinedResult",
