@@ -38,32 +38,37 @@ def galerkin_coarse(fine_op, dinv, transfer, dtype=None) -> VarStencil27:
     c_shape = transfer.c_shape
     dt = dtype or dinv.dtype
 
-    kz = jnp.arange(c_shape[0]) % 3
-    jy = jnp.arange(c_shape[1]) % 3
-    ix = jnp.arange(c_shape[2]) % 3
+    # ONE jitted program running all 27 probes in a fori_loop: a single
+    # compile + dispatch instead of 27 round-trips through a tunneled
+    # runtime (the per-dispatch latency dominated KSPSetUp).  The comb
+    # residue mask is computed from the loop index on device; the combs
+    # write disjoint coefficients, so the functional updates commute.
+    @jax.jit
+    def probe_all(fine_op, dinv, transfer):
+        kz = jax.lax.broadcasted_iota(jnp.int32, c_shape, 0) % 3
+        jy = jax.lax.broadcasted_iota(jnp.int32, c_shape, 1) % 3
+        ix = jax.lax.broadcasted_iota(jnp.int32, c_shape, 2) % 3
 
-    # one small jitted program executed 27x (one per comb) — compiles in a
-    # fraction of the time of a single fully-unrolled 27-probe graph and
-    # produces identical results (the combs write disjoint coefficients).
-    @partial(jax.jit, donate_argnums=(1,))
-    def probe_one(mask, coef, fine_op, dinv, transfer):
-        e = mask.astype(dt)
-        y = transfer.restrict(fine_op, dinv, fine_op.mv(
-            transfer.prolong(fine_op, dinv, e)
-        ))
-        for o, off in enumerate(OFFSETS):
-            coef = coef.at[o].set(jnp.where(mask, shift3(y, off), coef[o]))
-        return coef
+        def body(comb, coef):
+            a, rem = comb // 9, comb % 9
+            b, c = rem // 3, rem % 3
+            mask = (kz == a) & (jy == b) & (ix == c)
+            e = mask.astype(dt)
+            y = transfer.restrict(fine_op, dinv, fine_op.mv(
+                transfer.prolong(fine_op, dinv, e)
+            ))
+            for o, off in enumerate(OFFSETS):
+                coef = coef.at[o].set(
+                    jnp.where(mask, shift3(y, off), coef[o])
+                )
+            return coef
 
-    coef = jnp.zeros((27,) + tuple(c_shape), dtype=dt)
-    for (a, b, c) in itertools.product(range(3), repeat=3):
-        mask = (
-            (kz == a)[:, None, None]
-            & (jy == b)[None, :, None]
-            & (ix == c)[None, None, :]
+        coef0 = jnp.zeros((27,) + tuple(c_shape), dtype=dt)
+        return jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(27), body, coef0
         )
-        coef = probe_one(mask, coef, fine_op, dinv, transfer)
-    return VarStencil27(coef=coef)
+
+    return VarStencil27(coef=probe_all(fine_op, dinv, transfer))
 
 
 def ptap_scipy(a_csr, p_scipy):
