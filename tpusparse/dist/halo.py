@@ -74,10 +74,6 @@ def _local_shift(x, axis: int, direction: int):
 
 def _mv_shard(diag, cx, cy, cz, x, *, pinned: bool):
     """Per-shard stencil apply.  Runs inside shard_map over ('z', 'y')."""
-    # --- VecScatterBegin parity: post all four neighbor exchanges ----------
-    z_prev, z_next = _neighbor_planes(x, 0, "z")
-    y_prev, y_next = _neighbor_planes(x, 1, "y")
-
     zi = lax.axis_index("z")
     yi = lax.axis_index("y")
     on_origin_shard = (zi == 0) & (yi == 0)
@@ -89,12 +85,19 @@ def _mv_shard(diag, cx, cy, cz, x, *, pinned: bool):
 
     if pinned:
         # zero column 0: the origin lives at local (0,0,0) of shard (0,0);
-        # mask it out of x before any neighbor read (local or exchanged —
-        # the exchanged planes can't contain it: plane k=0/j=0 is never sent)
+        # mask it out of x before ANY neighbor read — including the exchanged
+        # planes: with a 1-plane-thick shard (nz_local==1 or ny_local==1) the
+        # origin's plane IS the hi face shipped to the z+1/y+1 neighbor, so
+        # the exchange must carry the masked field.  (The local diag*x term
+        # below is unaffected; it reads the unmasked x.)
         origin = on_origin_shard & (kk == 0) & (jj == 0) & (ii == 0)
         xn = jnp.where(origin, zero, x)
     else:
         xn = x
+
+    # --- VecScatterBegin parity: post all four neighbor exchanges ----------
+    z_prev, z_next = _neighbor_planes(xn, 0, "z")
+    y_prev, y_next = _neighbor_planes(xn, 1, "y")
 
     # --- diagonal-block contribution: purely local, overlaps the permutes --
     y = diag * x

@@ -55,7 +55,15 @@ def lib() -> ctypes.CDLL | None:
     _tried = True
     if os.environ.get("TPUSPARSE_NO_NATIVE"):
         return None
-    if not _SO.exists() and not _build():
+    src = _CSRC / "tpusparse_native.cpp"
+    stale = (
+        _SO.exists()
+        and src.exists()
+        and src.stat().st_mtime > _SO.stat().st_mtime
+    )
+    if (not _SO.exists() or stale) and not _build():
+        # a stale .so is worse than none: source edits would be silently
+        # ignored.  Refuse to load it if the rebuild failed.
         return None
     try:
         L = ctypes.CDLL(str(_SO))

@@ -92,28 +92,35 @@ def cg_checkpointed(
     template = (zeros, zeros, zeros, zeros,
                 jnp.zeros((), b.dtype), jnp.zeros((), b.dtype), jnp.int32(0))
     state = None
+    done = 0  # global iterations completed (the state's counter is
+    # chunk-RELATIVE so every chunk runs the same static-maxiter compiled
+    # program; a global counter would retrace/recompile once per chunk)
     if resume and path.exists():
-        state, _meta = load_pytree(path, template)
+        state, meta = load_pytree(path, template)
+        done = int(meta.get("iters", 0))
+        state = state[:6] + (jnp.int32(0),)
 
     while True:
-        done = 0 if state is None else int(state[6])
-        bound = min(done + cfg.every, maxiter)
+        n = min(cfg.every, maxiter - done)  # != cfg.every only on the final
+        # chunk, so at most two programs are ever compiled
         res, state = cg(
-            a_mv, b, rtol=rtol, atol=atol, maxiter=bound, m_mv=m_mv,
+            a_mv, b, rtol=rtol, atol=atol, maxiter=n, m_mv=m_mv,
             state0=state, return_state=True,
         )
-        total = int(res.iters)
-        save_pytree(path, state, {"iters": total, "rtol": rtol, "atol": atol})
+        done += int(res.iters)
+        state = state[:6] + (jnp.int32(0),)
+        save_pytree(path, state, {"iters": done, "rtol": rtol, "atol": atol})
         if cfg.keep_history:
             save_pytree(
-                path.with_suffix(path.suffix + f".it{total}"), state,
-                {"iters": total},
+                path.with_suffix(path.suffix + f".it{done}"), state,
+                {"iters": done},
             )
-        if int(res.reason) > 0:  # converged
+        if int(res.reason) > 0:  # converged (rtol/atol — cg never stalls)
             break
         if int(res.reason) == int(ConvergedReason.DIVERGED_NANORINF):
             break
-        if int(res.iters) >= maxiter:
+        if done >= maxiter:
             break  # global budget exhausted (stays DIVERGED_ITS)
         # otherwise the chunk budget ran out — continue from the saved state
-    return res, int(res.iters)
+    res = dataclasses.replace(res, iters=jnp.int32(done))
+    return res, done

@@ -107,10 +107,15 @@ def df_neg(x: DF64) -> DF64:
 
 
 def df_add(x: DF64, y: DF64) -> DF64:
-    """Two-float + two-float (Kahan/QD 'sloppy' add is NOT used — this is the
-    accurate 20-flop variant)."""
+    """Two-float + two-float — the accurate (QD ``ieee_add``) 20-flop
+    variant: two_sum on BOTH the hi and lo components with two
+    renormalizations, which keeps the error bound under cancellation that
+    the 11-flop 'sloppy' add loses."""
     s, e = _two_sum(x.hi, y.hi)
-    e = e + x.lo + y.lo
+    t, f = _two_sum(x.lo, y.lo)
+    e = e + t
+    s, e = _quick_two_sum(s, e)
+    e = e + f
     hi, lo = _quick_two_sum(s, e)
     return DF64(hi=hi, lo=lo)
 
