@@ -31,14 +31,54 @@ def test_cli_overrides_file():
     assert opts.da_grid_y == 100  # untouched default (main_ksp.cpp:33-35)
 
 
-def test_unknown_option_rejected():
-    with pytest.raises(ValueError, match="unknown options"):
-        load_options(["-no_such_thing", "1"])
+def test_unknown_option_warns_and_is_ignored():
+    """PETSc ignores unused options — a reference user's richer config file
+    must still run (only a warning so typos stay visible)."""
+    with pytest.warns(UserWarning, match="no_such_thing"):
+        opts = load_options(["-no_such_thing", "1", "-ksp_rtol", "1e-9"])
+    assert opts.ksp_rtol == 1e-9
+
+
+def test_petsc_style_file_with_extra_options(tmp_path):
+    """A PETSc-era config carrying options we don't model parses with a
+    warning; the modeled options take effect."""
+    p = tmp_path / "rich.info"
+    p.write_text(
+        "-ksp_type cg\n-ksp_rtol 1e-10\n"
+        "-pc_gamg_square_graph 1\n-mg_levels_esteig_ksp_type cg\n"
+        "-ksp_norm_type unpreconditioned\n"
+    )
+    with pytest.warns(UserWarning, match="pc_gamg_square_graph"):
+        opts = load_options(["-config", str(p)])
+    assert opts.ksp_rtol == 1e-10
 
 
 def test_unsupported_value_rejected():
     with pytest.raises(ValueError, match="ksp_type"):
         load_options(["-ksp_type", "gmres"])
+
+
+def test_malformed_syntax_still_hard_fails():
+    with pytest.raises(ValueError, match="expected an option"):
+        load_options(["ksp_rtol", "1e-9"])
+
+
+def test_type_error_on_known_name_still_hard_fails():
+    with pytest.raises(ValueError):
+        load_options(["-ksp_max_it", "many"])
+
+
+def test_richardson_preonly_accepted():
+    assert load_options(["-ksp_type", "richardson"]).ksp_type == "richardson"
+    assert load_options(["-ksp_type", "preonly"]).ksp_type == "preonly"
+
+
+def test_ksp_monitor_flag():
+    assert load_options([]).ksp_monitor is False
+    assert load_options(["-ksp_monitor"]).ksp_monitor is True
+    assert load_options(["-ksp_monitor", "false"]).ksp_monitor is False
+    with pytest.raises(ValueError, match="boolean"):
+        load_options(["-ksp_monitor", "maybe"])
 
 
 def test_comments_and_blank_lines(tmp_path):

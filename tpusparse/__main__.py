@@ -45,7 +45,13 @@ def main(argv: list[str] | None = None) -> int:
             ksp=opts.ksp_type,
             pc_dtype=opts.pc_dtype,
             mg_cycle=opts.pc_mg_cycle_type,
+            monitor=opts.ksp_monitor,
+            ksp_richardson_scale=opts.ksp_richardson_scale,
         )
+    if opts.ksp_monitor:
+        # PETSc streams these during KSPSolve; our solve is one compiled
+        # program, so the recorded history prints before the summary block
+        print(rep.monitor_block())
     print(rep.reference_block())
     print("JSON:", rep.json_sidecar())
     return 0

@@ -42,6 +42,19 @@ class SolveReport:
     pc: str
     precision: str = "f64"
     outer_iters: int = 0
+    # -ksp_monitor data: per-iteration ||r||_2 for uniform-precision solves,
+    # per-OUTER-sweep true ||r||_2 for mixed precision (index 0 = initial)
+    residual_history: list | None = None
+
+    def monitor_block(self) -> str:
+        """PETSc ``-ksp_monitor`` output: '  %d KSP Residual norm %e' per
+        recorded residual (KSPMonitorResidual format)."""
+        if not self.residual_history:
+            return ""
+        return "\n".join(
+            f"  {i} KSP Residual norm {r:e}"
+            for i, r in enumerate(self.residual_history)
+        )
 
     def reference_block(self) -> str:
         """The reference's exact output contract (src/main_ksp.cpp:124-129)."""
@@ -81,6 +94,8 @@ def solve_poisson(
     ksp: str = "cg",
     pc_dtype: str = "f32",
     mg_cycle: str = "v",
+    monitor: bool = False,
+    ksp_richardson_scale: float = 1.0,
 ) -> SolveReport:
     """End-to-end solve with the reference's defaults
     (tolerances: configs/PETSc_SolverOptions_GAMG.info:1-4).
@@ -120,8 +135,22 @@ def solve_poisson(
                 "solver of mixed-precision defect correction)"
             )
         from tpusparse.solve.pipelined import cg_pipelined as ksp_solve
+    elif ksp == "richardson":
+        # KSPRICHARDSON as the top-level (or inner, under mixed precision)
+        # solver: multigrid-as-a-solver when pc=gamg
+        from functools import partial as _partial
+
+        from tpusparse.solve.simple import richardson
+
+        ksp_solve = _partial(richardson, scale=ksp_richardson_scale)
+    elif ksp == "preonly":
+        # KSPPREONLY: one preconditioner application; under mixed precision
+        # this is classic "one V-cycle per defect-correction sweep"
+        from tpusparse.solve.simple import preonly as ksp_solve
     else:
-        raise ValueError(f"unknown ksp {ksp!r} (cg | pipecg)")
+        raise ValueError(
+            f"unknown ksp {ksp!r} (cg | pipecg | richardson | preonly)"
+        )
 
     t0 = time.perf_counter()
     grid = Grid3D(nx, ny, nz)
@@ -199,7 +228,7 @@ def solve_poisson(
             return cg_refined_tf(
                 op_df, op_lo.mv, b, rtol=rtol, atol=atol,
                 m_lo_mv=m_of(pc_state), encode=encode, decode=decode,
-                solver=ksp_solve,
+                solver=ksp_solve, history=monitor,
             )
     elif mixed:
         from tpusparse.solve.refine import cg_refined
@@ -208,13 +237,13 @@ def solve_poisson(
             return cg_refined(
                 op.mv, op_lo.mv, b, rtol=rtol, atol=atol,
                 m_lo_mv=m_of(pc_state), encode=encode, decode=decode,
-                solver=ksp_solve,
+                solver=ksp_solve, history=monitor,
             )
     else:
         def solve_fn(op, op_lo, pc_state, b):
             return ksp_solve(
                 op.mv, b, rtol=rtol, atol=atol, maxiter=maxiter,
-                m_mv=m_of(pc_state),
+                m_mv=m_of(pc_state), history=monitor,
             )
 
     if n_devices > 1:
@@ -250,16 +279,27 @@ def solve_poisson(
     # backends (axon) block_until_ready can return before execution finishes;
     # fetching an output scalar cannot.
     if warmup:
-        float(solve(b).resnorm)
+        out = solve(b)
+        float((out[0] if monitor else out).resnorm)
 
     t0 = time.perf_counter()
     res = solve(b)
+    hist = None
+    if monitor:
+        res, hist = res
     resnorm = float(res.resnorm)
     t_solve = time.perf_counter() - t0
 
     reason = int(res.reason)
     if reason < 0:
         raise DivergedError(f"Diverged reason: {reason}")
+
+    history = None
+    if hist is not None:
+        # trim to the recorded prefix: outer sweeps for mixed precision
+        # (RefinedResult), plain iterations otherwise
+        count = int(getattr(res, "outer_iters", None) or res.iters)
+        history = [float(v) for v in np.asarray(hist)[: count + 1]]
 
     linf = float(jnp.abs(res.x - exact).max()) if check_error else float("nan")
     return SolveReport(
@@ -276,4 +316,5 @@ def solve_poisson(
         pc=pc,
         precision=precision,
         outer_iters=int(getattr(res, "outer_iters", 0)),
+        residual_history=history,
     )

@@ -38,6 +38,9 @@ class Options:
     ksp_rtol: float = 1e-5          # PETSc default; the config file sets 1e-14
     ksp_atol: float = 1e-50
     ksp_max_it: int = 10000
+    ksp_monitor: bool = False       # per-iteration residual history (PETSc
+    # -ksp_monitor: '  %d KSP Residual norm %e' lines + JSON sidecar field)
+    ksp_richardson_scale: float = 1.0  # top-level KSPRICHARDSON damping
 
     # PC
     pc_type: str = "gamg"           # gamg | jacobi | none
@@ -75,10 +78,11 @@ class Options:
         )
 
     def validate(self) -> "Options":
-        if self.ksp_type not in ("cg", "pipecg"):
+        if self.ksp_type not in ("cg", "pipecg", "richardson", "preonly"):
             raise ValueError(
-                f"-ksp_type {self.ksp_type}: 'cg' (KSPCG parity) or"
-                f" 'pipecg' (KSPPIPECG parity, solve/pipelined.py)"
+                f"-ksp_type {self.ksp_type}: 'cg' (KSPCG parity),"
+                f" 'pipecg' (KSPPIPECG, solve/pipelined.py),"
+                f" 'richardson' or 'preonly' (solve/simple.py)"
             )
         if self.precision not in ("mixed", "tf", "f64", "f32"):
             raise ValueError(f"-precision {self.precision} not supported")
@@ -146,6 +150,13 @@ def _coerce(name: str, raw: str):
         return int(raw)
     if typ in ("float", float):
         return float(raw)
+    if typ in ("bool", bool):
+        # PETSc boolean spellings: bare flag => true; explicit values accepted
+        if raw.lower() in ("true", "1", "yes", "on"):
+            return True
+        if raw.lower() in ("false", "0", "no", "off"):
+            return False
+        raise ValueError(f"-{name}: expected a boolean, got {raw!r}")
     return raw
 
 
@@ -170,5 +181,15 @@ def load_options(argv: list[str] | None = None) -> Options:
         else:
             unknown.append(key)
     if unknown:
-        raise ValueError(f"unknown options: {sorted(unknown)}")
+        # PETSc semantics: unused options are IGNORED (it only reports them
+        # under -options_left), so an arbitrary reference-era config file
+        # with extra -ksp_*/-pc_*/-mg_* knobs must still run.  Warn so typos
+        # remain visible; hard errors are reserved for malformed syntax
+        # (_parse_tokens) and type errors on known names (_coerce).
+        import warnings
+
+        warnings.warn(
+            f"ignoring unused options (PETSc semantics): {sorted(unknown)}",
+            stacklevel=2,
+        )
     return Options(**kwargs).validate()

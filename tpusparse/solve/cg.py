@@ -41,7 +41,12 @@ class ConvergedReason(enum.IntEnum):
     # CG at the same config keeps iterating on the RECURRENCE residual, which
     # falls below the floor the true residual cannot cross — this reason
     # makes the distinction explicit instead of mislabeling it divergence.
-    CONVERGED_STALLED = 6
+    # Value 100 is deliberately OUTSIDE PETSc's KSPConvergedReason range
+    # (1..10) so it can never be confused with a PETSc code (6 would collide
+    # with KSP_CONVERGED_STEP_LENGTH).  Note it is still positive: callers
+    # gating on reason > 0 accept a stalled solve; callers that require
+    # rtol/atol to have been MET must check for this value explicitly.
+    CONVERGED_STALLED = 100
     ITERATING = 0
     DIVERGED_ITS = -3
     DIVERGED_NANORINF = -9
@@ -80,6 +85,7 @@ def cg(
     m_mv: Callable | None = None,
     state0: tuple | None = None,
     return_state: bool = False,
+    history: bool = False,
 ) -> CGResult:
     """Solve A x = b with (preconditioned) CG.
 
@@ -91,7 +97,13 @@ def cg(
     ``return_state=True`` additionally returns the full Krylov state tuple;
     passing it back as ``state0`` resumes the iteration *exactly* (same
     conjugacy history — used by solve/checkpoint.py).  The state's iteration
-    counter is global, so a resumed call should raise ``maxiter`` accordingly.
+    counter is chunk-local, so a resumed call runs up to ``maxiter`` MORE
+    iterations.
+
+    ``history=True`` additionally returns a ``(maxiter+1,)`` f32 array of
+    per-iteration residual 2-norms (index 0 = initial residual; entries past
+    ``result.iters`` are zero) — the KSPMonitor data
+    (PETSc ``-ksp_monitor``); incompatible with ``state0``.
 
     Jit-compatible: call under ``jax.jit``; ``maxiter`` must be static,
     ``rtol``/``atol`` may be python floats or traced scalars (the adaptive
@@ -99,6 +111,8 @@ def cg(
     """
     if m_mv is None:
         m_mv = lambda r: r
+    if history and state0 is not None:
+        raise ValueError("history=True is incompatible with state0 resume")
 
     if x0 is None:
         x0 = jnp.zeros_like(b)  # reference zeroes the initial guess (helper.cpp:48)
@@ -133,11 +147,11 @@ def cg(
         )
 
     def cond(state):
-        _x, _r, _z, _p, _rz, rnorm, it = state
+        rnorm, it = state[5], state[6]
         return classify(rnorm, it) == jnp.int32(ConvergedReason.ITERATING)
 
     def body(state):
-        x, r, z, p, rz, _rnorm, it = state
+        x, r, z, p, rz, _rnorm, it = state[:7]
         ap = a_mv(p)
         alpha = rz / _dot(p, ap)
         x = x + alpha * p
@@ -147,10 +161,16 @@ def cg(
         beta = rz_new / rz
         p = z + beta * p
         rnorm = jnp.sqrt(_dot(r, r))
-        return (x, r, z, p, rz_new, rnorm, it + 1)
+        new = (x, r, z, p, rz_new, rnorm, it + 1)
+        if history:
+            new += (state[7].at[it + 1].set(rnorm.astype(jnp.float32)),)
+        return new
 
     if state0 is None:
         state = (x0, r0, z0, z0, rz0, rnorm0, jnp.int32(0))
+        if history:
+            hist0 = jnp.zeros((maxiter + 1,), jnp.float32)
+            state += (hist0.at[0].set(rnorm0.astype(jnp.float32)),)
     else:
         state = state0
     out = jax.lax.while_loop(cond, body, state)
@@ -164,7 +184,9 @@ def cg(
         bnorm=bnorm,
     )
     if return_state:
-        return result, out
+        return result, out[:7]
+    if history:
+        return result, out[7]
     return result
 
 

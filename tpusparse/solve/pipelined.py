@@ -52,12 +52,15 @@ def cg_pipelined(
     maxiter: int = 10000,
     m_mv: Callable | None = None,
     replace_every: int = 50,
+    history: bool = False,
 ) -> CGResult:
     """Solve A x = b with pipelined PCG.  Same contract as ``cg``:
     convergence on ||r||_2 <= max(rtol*||b||_2, atol), PETSc-style
     converged-reason codes, jit-compatible with static tolerances.
 
-    ``replace_every``: residual-replacement period (0 disables)."""
+    ``replace_every``: residual-replacement period (0 disables).
+    ``history=True`` additionally returns the ``(maxiter+1,)`` f32 residual
+    norm history (KSPMonitor data, as in ``cg``)."""
     if m_mv is None:
         m_mv = lambda r: r
     if x0 is None:
@@ -96,13 +99,12 @@ def cg_pipelined(
     one = jnp.ones((), dt)
 
     def cond(state):
-        (_x, _r, _u, _w, _z, _q, _p, _s,
-         _gamma, _alpha, rnorm, it, first) = state
-        del first
+        rnorm, it = state[10], state[11]
         return classify(rnorm, it) == jnp.int32(ConvergedReason.ITERATING)
 
     def body(state):
-        (x, r, u, w, z, q, p, s, gamma, alpha_old, _rnorm, it, first) = state
+        (x, r, u, w, z, q, p, s, gamma, alpha_old, _rnorm, it,
+         first) = state[:13]
         # the two applies are independent of this iteration's reductions
         m = m_mv(w)
         n = a_mv(m)
@@ -145,16 +147,24 @@ def cg_pipelined(
                 (x, p),
             )
         rnorm = jnp.sqrt(_dot(r, r))
-        return (x, r, u, w, z, q, p, s, gamma_new, alpha,
-                rnorm, it + 1, jnp.bool_(False))
+        new = (x, r, u, w, z, q, p, s, gamma_new, alpha,
+               rnorm, it + 1, jnp.bool_(False))
+        if history:
+            new += (state[13].at[it + 1].set(rnorm.astype(jnp.float32)),)
+        return new
 
     state = (
         x0, r0, u0, w0, zeros, zeros, zeros, zeros,
         gamma0, one, rnorm0, jnp.int32(0), jnp.bool_(True),
     )
+    if history:
+        hist0 = jnp.zeros((maxiter + 1,), jnp.float32)
+        state += (hist0.at[0].set(rnorm0.astype(jnp.float32)),)
     out = jax.lax.while_loop(cond, body, state)
-    x, r, rnorm, it = out[0], out[1], out[10], out[11]
-    del r
-    return CGResult(
+    x, rnorm, it = out[0], out[10], out[11]
+    result = CGResult(
         x=x, iters=it, resnorm=rnorm, reason=classify(rnorm, it), bnorm=bnorm
     )
+    if history:
+        return result, out[13]
+    return result

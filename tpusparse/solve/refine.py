@@ -66,7 +66,14 @@ class RefinedResult:
     bnorm: jax.Array
 
     def converged(self) -> bool:
+        """True for any positive reason — INCLUDING ``CONVERGED_STALLED``
+        (the attainable residual floor was reached before rtol).  Callers
+        that require rtol/atol to have been met must also check
+        ``stalled()``."""
         return int(self.reason) > 0
+
+    def stalled(self) -> bool:
+        return int(self.reason) == int(ConvergedReason.CONVERGED_STALLED)
 
 
 def cg_refined(
@@ -84,6 +91,7 @@ def cg_refined(
     encode: Callable | None = None,
     decode: Callable | None = None,
     solver: Callable = cg,
+    history: bool = False,
 ) -> RefinedResult:
     """Solve A x = b to high-precision tolerances with low-precision inners.
 
@@ -92,6 +100,11 @@ def cg_refined(
     translate between the outer vector layout and the inner solver's layout
     (e.g. the padded-resident layout of ``sparse/padded.py``); default
     identity.  Jit-compatible.
+
+    ``history=True`` additionally returns a ``(max_outer+1,)`` f32 array of
+    per-OUTER-sweep true-residual norms (index 0 = ||b||; zeros past
+    ``outer_iters``) — the monitor data for mixed precision, where each
+    entry is one defect-correction sweep (KSPMonitor-true-residual flavor).
     """
     dt = b.dtype
     bnorm = _norm_fast(b)
@@ -142,26 +155,34 @@ def cg_refined(
         )
 
     def cond(state):
-        _x, _r, rnorm, prev, outer, _tot = state
+        rnorm, prev, outer = state[2], state[3], state[4]
         return classify(rnorm, prev, outer) == jnp.int32(
             ConvergedReason.ITERATING
         )
 
     def body(state):
-        x, r, rnorm, _prev, outer, tot = state
+        x, r, rnorm, _prev, outer, tot = state[:6]
         e, its = inner(r, rnorm)
         x = x + e
         r = b - a_hi_mv(x)  # the one high-precision apply per outer sweep
-        return (x, r, _norm_fast(r), rnorm, outer + 1, tot + its)
+        rn = _norm_fast(r)
+        new = (x, r, rn, rnorm, outer + 1, tot + its)
+        if history:
+            new += (state[6].at[outer + 1].set(rn.astype(jnp.float32)),)
+        return new
 
     x0 = jnp.zeros_like(b)
     r0 = b  # x0 = 0
     rn0 = _norm_fast(r0)
     state = (x0, r0, rn0, jnp.asarray(jnp.inf, rn0.dtype), jnp.int32(0),
              jnp.int32(0))
-    x, _r, rnorm, prev, outer, tot = jax.lax.while_loop(cond, body, state)
+    if history:
+        hist0 = jnp.zeros((max_outer + 1,), jnp.float32)
+        state += (hist0.at[0].set(rn0.astype(jnp.float32)),)
+    out = jax.lax.while_loop(cond, body, state)
+    x, rnorm, prev, outer, tot = out[0], out[2], out[3], out[4], out[5]
 
-    return RefinedResult(
+    result = RefinedResult(
         x=x,
         iters=tot,
         outer_iters=outer,
@@ -169,6 +190,9 @@ def cg_refined(
         reason=classify(rnorm, prev, outer),
         bnorm=bnorm,
     )
+    if history:
+        return result, out[6]
+    return result
 
 
 def cg_refined_tf(
@@ -185,6 +209,7 @@ def cg_refined_tf(
     encode: Callable | None = None,
     decode: Callable | None = None,
     solver: Callable = cg,
+    history: bool = False,
 ) -> RefinedResult:
     """Defect correction with a **two-float** outer loop — no f64 anywhere.
 
@@ -252,25 +277,47 @@ def cg_refined_tf(
         )
 
     def cond(state):
-        _x, _r, rnorm, prev, outer, _tot = state
+        rnorm, prev, outer = state[2], state[3], state[4]
         return classify(rnorm, prev, outer) == jnp.int32(
             ConvergedReason.ITERATING
         )
 
     def body(state):
-        x, r, rnorm, _prev, outer, tot = state
+        x, r, rnorm, _prev, outer, tot = state[:6]
         e, its = inner(r, rnorm)
         x = df_add_f32(x, e)                     # exact two-sum accumulation
         ax = a_df.mv(x)
         r = b - ax                                # DF64 residual
-        return (x, r, df_norm2(r), rnorm, outer + 1, tot + its)
+        rn = df_norm2(r)
+        new = (x, r, rn, rnorm, outer + 1, tot + its)
+        if history:
+            new += (state[6].at[outer + 1].set(rn.astype(jnp.float32)),)
+        return new
 
     zero = DF64.from_f32(jnp.zeros_like(b.hi))
     rn0 = df_norm2(b)
     state = (zero, b, rn0, jnp.asarray(jnp.inf, rn0.dtype), jnp.int32(0),
              jnp.int32(0))
-    x, _r, rnorm, prev, outer, tot = jax.lax.while_loop(cond, body, state)
+    if history:
+        hist0 = jnp.zeros((max_outer + 1,), jnp.float32)
+        state += (hist0.at[0].set(rn0.astype(jnp.float32)),)
+    out = jax.lax.while_loop(cond, body, state)
+    x, rnorm, prev, outer, tot = out[0], out[2], out[3], out[4], out[5]
 
+    if history:
+        result = RefinedResult(
+            x=x.to_f64() if jax.config.jax_enable_x64 else x.hi,
+            iters=tot,
+            outer_iters=outer,
+            resnorm=rnorm.astype(
+                jnp.float64 if jax.config.jax_enable_x64 else f32
+            ),
+            reason=classify(rnorm, prev, outer),
+            bnorm=bnorm.astype(
+                jnp.float64 if jax.config.jax_enable_x64 else f32
+            ),
+        )
+        return result, out[6]
     return RefinedResult(
         x=x.to_f64() if jax.config.jax_enable_x64 else x.hi,
         iters=tot,

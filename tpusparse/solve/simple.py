@@ -26,12 +26,15 @@ def richardson(
     maxiter: int = 10000,
     m_mv: Callable | None = None,
     scale: float = 1.0,
+    history: bool = False,
 ) -> CGResult:
     """Preconditioned Richardson iteration x += scale * M (b - A x)
     (KSPRICHARDSON with ``-ksp_richardson_scale``).
 
     Converges for SPD A, M when scale * rho(M A) < 2; with the V-cycle as M
     this is "multigrid as a solver" rather than as a CG preconditioner.
+    ``history=True`` additionally returns the ``(maxiter+1,)`` f32 residual
+    norm history (KSPMonitor data, as in ``cg``).
     """
     if m_mv is None:
         m_mv = lambda r: r
@@ -63,21 +66,33 @@ def richardson(
         )
 
     def cond(state):
-        _x, _r, rnorm, it = state
+        rnorm, it = state[2], state[3]
         return classify(rnorm, it) == jnp.int32(ConvergedReason.ITERATING)
 
     def body(state):
-        x, r, _rn, it = state
+        x, r, _rn, it = state[:4]
         x = x + w * m_mv(r)
         r = b - a_mv(x)
-        return (x, r, jnp.sqrt(_dot(r, r)), it + 1)
+        rnorm = jnp.sqrt(_dot(r, r))
+        new = (x, r, rnorm, it + 1)
+        if history:
+            new += (state[4].at[it + 1].set(rnorm.astype(jnp.float32)),)
+        return new
 
     r0 = b - a_mv(x0)
-    state = (x0, r0, jnp.sqrt(_dot(r0, r0)), jnp.int32(0))
-    x, _r, rnorm, it = jax.lax.while_loop(cond, body, state)
-    return CGResult(
+    rnorm0 = jnp.sqrt(_dot(r0, r0))
+    state = (x0, r0, rnorm0, jnp.int32(0))
+    if history:
+        hist0 = jnp.zeros((maxiter + 1,), jnp.float32)
+        state += (hist0.at[0].set(rnorm0.astype(jnp.float32)),)
+    out = jax.lax.while_loop(cond, body, state)
+    x, rnorm, it = out[0], out[2], out[3]
+    result = CGResult(
         x=x, iters=it, resnorm=rnorm, reason=classify(rnorm, it), bnorm=bnorm
     )
+    if history:
+        return result, out[4]
+    return result
 
 
 def preonly(
@@ -89,12 +104,14 @@ def preonly(
     atol: float = 0.0,
     maxiter: int = 1,
     m_mv: Callable | None = None,
+    history: bool = False,
 ) -> CGResult:
     """One preconditioner application, x = M b (KSPPREONLY).
 
     The rtol/atol/maxiter parameters exist for interface compatibility and
     are ignored (PETSc's preonly likewise performs no convergence test);
-    the residual is reported for observability.
+    the residual is reported for observability (and as the 2-entry
+    ``history`` when requested).
     """
     del x0, rtol, atol, maxiter
     if m_mv is None:
@@ -102,10 +119,17 @@ def preonly(
     x = m_mv(b)
     r = b - a_mv(x)
     rnorm = jnp.sqrt(_dot(r, r))
-    return CGResult(
+    bnorm = jnp.sqrt(_dot(b, b))
+    result = CGResult(
         x=x,
         iters=jnp.int32(1),
         resnorm=rnorm,
         reason=jnp.int32(ConvergedReason.CONVERGED_RTOL),
-        bnorm=jnp.sqrt(_dot(b, b)),
+        bnorm=bnorm,
     )
+    if history:
+        hist = jnp.stack(
+            [bnorm.astype(jnp.float32), rnorm.astype(jnp.float32)]
+        )
+        return result, hist
+    return result
