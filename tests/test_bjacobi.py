@@ -1,0 +1,90 @@
+"""Real block-Jacobi (PCBJACOBI beyond the 1-block point degeneracy).
+
+VERDICT item 8's gate: an unstructured V-cycle with 4x4 blocks must beat
+point-Jacobi iteration counts on a non-grid test matrix (here: a Laplacian
+coupled across 4 dofs per node, the discretization class PETSc's BAIJ +
+bjacobi targets).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from tpusparse import HostCSR
+from tpusparse.amg import AMGParams, vcycle
+from tpusparse.amg.unstructured import gamg_setup_unstructured
+from tpusparse.solve import cg
+from tpusparse.solve.bjacobi import BlockJacobi
+
+
+def _coupled_system(m=14, bs=4, seed=0):
+    """A = L2d (x) C: 5-point Laplacian coupled by a non-diagonal SPD 4x4
+    block per node.  Block Jacobi inverts the node coupling exactly; point
+    Jacobi sees only C's diagonal."""
+    lap1 = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(m, m))
+    eye = sp.identity(m)
+    l2d = (sp.kron(lap1, eye) + sp.kron(eye, lap1)).tocsr()
+    rng = np.random.default_rng(seed)
+    q, _ = np.linalg.qr(rng.standard_normal((bs, bs)))
+    c = q @ np.diag(np.linspace(1.0, 4.0, bs)) @ q.T
+    a = sp.kron(l2d + 0.05 * sp.identity(m * m), c).tocsr()
+    return HostCSR.from_scipy(a)
+
+
+def test_blockjacobi_apply_matches_dense():
+    a = _coupled_system(6)
+    bj = BlockJacobi.build(a, 4)
+    n = a.n_rows
+    rng = np.random.default_rng(1)
+    r = rng.standard_normal(n)
+    dense = a.to_scipy().toarray()
+    want = np.concatenate(
+        [
+            np.linalg.solve(dense[k:k + 4, k:k + 4], r[k:k + 4])
+            for k in range(0, n, 4)
+        ]
+    )
+    np.testing.assert_allclose(np.asarray(bj.apply(jnp.asarray(r))), want,
+                               rtol=1e-10)
+
+
+def test_blockjacobi_ragged_tail():
+    """n not divisible by bs: tail block padded with identity."""
+    a = _coupled_system(5, bs=3)  # n = 75, bs 4 -> ragged
+    bj = BlockJacobi.build(a, 4)
+    r = np.ones(a.n_rows)
+    z = np.asarray(bj.apply(jnp.asarray(r)))
+    assert z.shape == (a.n_rows,)
+    assert np.all(np.isfinite(z))
+
+
+def test_bjacobi_vcycle_beats_point_jacobi():
+    a = _coupled_system()
+    b = jnp.asarray(np.sin(np.arange(a.n_rows) * 0.37))
+
+    def solve(bs):
+        hier = gamg_setup_unstructured(
+            a, AMGParams(coarse_eq_limit=64, bjacobi_bs=bs)
+        )
+        res = cg(
+            hier.levels[0].op.mv, b, rtol=1e-8, maxiter=400,
+            m_mv=lambda r: vcycle(hier, r),
+        )
+        assert res.converged()
+        return int(res.iters)
+
+    it_point = solve(0)
+    it_block = solve(4)
+    assert it_block < it_point, (it_block, it_point)
+
+
+def test_bjacobi_rejected_on_structured_path():
+    import pytest
+
+    from tpusparse.amg import gamg_setup
+    from tpusparse.grid.grid3d import Grid3D
+    from tpusparse.grid.poisson import poisson_stencil
+
+    op, _, _ = poisson_stencil(Grid3D(8, 8, 8), dtype=np.float32)
+    with pytest.raises(ValueError, match="unstructured"):
+        gamg_setup(op, AMGParams(bjacobi_bs=4))

@@ -1,0 +1,112 @@
+"""DIA (banded) container — the gather-free general-matrix path.
+
+Oracle: scipy.  Also checks the unstructured AMG with DIA operators +
+factored transfers matches the ELL + explicit-transfer path
+iteration-for-iteration (cross-variant consistency, SURVEY.md section 4).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from tpusparse import Grid3D, HostCSR
+from tpusparse.amg import AMGParams, vcycle
+from tpusparse.amg.unstructured import gamg_setup_unstructured
+from tpusparse.grid.poisson import assemble_poisson
+from tpusparse.solve import cg
+from tpusparse.sparse.dia import DIA
+
+
+def _poisson_csr(n=10):
+    return assemble_poisson(Grid3D(n, n, n))[0]
+
+
+def test_dia_roundtrip_and_mv():
+    a = _poisson_csr(8)
+    d = DIA.from_csr(a)
+    assert len(d.offsets) == 7  # 7-point star
+    s = a.to_scipy()
+    assert (d.to_scipy() != s).nnz == 0
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(a.n_rows)
+    np.testing.assert_allclose(np.asarray(d.mv(jnp.asarray(x))), s @ x,
+                               rtol=1e-12)
+
+
+def test_dia_rectangular_and_rmv():
+    rng = np.random.default_rng(1)
+    s = sp.random(40, 23, density=0.2, random_state=3, format="csr")
+    d = DIA.from_csr(HostCSR.from_scipy(s))
+    x = rng.standard_normal(23)
+    y = rng.standard_normal(40)
+    np.testing.assert_allclose(np.asarray(d.mv(jnp.asarray(x))), s @ x,
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(d.rmv(jnp.asarray(y))), s.T @ y,
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_dia_mm_matches_mv():
+    a = _poisson_csr(6)
+    d = DIA.from_csr(a)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((a.n_cols, 3)))
+    got = np.asarray(d.mm(x))
+    for j in range(3):
+        np.testing.assert_allclose(got[:, j], np.asarray(d.mv(x[:, j])),
+                                   rtol=1e-12)
+
+
+def test_dia_diagonal():
+    a = _poisson_csr(6)
+    d = DIA.from_csr(a)
+    np.testing.assert_allclose(np.asarray(d.diagonal()),
+                               a.to_scipy().diagonal())
+
+
+def test_dia_refuses_wide_matrices():
+    s = sp.random(300, 300, density=0.3, random_state=0, format="csr")
+    with pytest.raises(ValueError, match="diagonals"):
+        DIA.from_csr(HostCSR.from_scipy(s), max_offsets=32)
+
+
+def test_dia_cg_inside_while_loop():
+    """The whole point: DIA mv inside a jitted while_loop CG (the shape the
+    deployed libtpu crashes on with gather containers)."""
+    a = _poisson_csr(10)
+    d = DIA.from_csr(a)
+    rng = np.random.default_rng(3)
+    x_true = rng.standard_normal(a.n_rows)
+    b = jnp.asarray(a.to_scipy() @ x_true)
+    import jax
+
+    res = jax.jit(
+        lambda op, b: cg(op.mv, b, rtol=1e-10, maxiter=3000)
+    )(d, b)
+    assert res.converged()
+    np.testing.assert_allclose(np.asarray(res.x), x_true, rtol=1e-6,
+                               atol=1e-7)
+
+
+@pytest.mark.parametrize("fmt,tfmt", [("ell", "ell"), ("dia", "factored")])
+def test_unstructured_amg_dia_matches_ell(fmt, tfmt):
+    """DIA + factored transfers = same preconditioner as ELL + explicit P."""
+    a = _poisson_csr(12)
+    params = AMGParams(coarse_eq_limit=40)
+    hier = gamg_setup_unstructured(
+        a, params, device_format=fmt, transfer_format=tfmt
+    )
+    b = jnp.asarray(np.sin(np.arange(a.n_rows) * 0.13))
+    z = vcycle(hier, b)
+    res = cg(hier.levels[0].op.mv, b, rtol=1e-8, maxiter=200,
+             m_mv=lambda r: vcycle(hier, r))
+    assert res.converged()
+    # store for cross-variant comparison via function attribute
+    key = "results"
+    store = getattr(test_unstructured_amg_dia_matches_ell, key, {})
+    store[(fmt, tfmt)] = (int(res.iters), np.asarray(z))
+    setattr(test_unstructured_amg_dia_matches_ell, key, store)
+    if len(store) == 2:
+        (it1, z1), (it2, z2) = store.values()
+        assert abs(it1 - it2) <= 1
+        np.testing.assert_allclose(z1, z2, rtol=1e-5, atol=1e-8)

@@ -49,19 +49,26 @@ class AMGParams:
     smooth_damping: float = 1.0  # Richardson scale (PETSc default 1.0)
     cheby_lo: float = 0.1        # chebyshev target range [lo,hi]*rho(D^-1 A)
     cheby_hi: float = 1.05
+    # real block-Jacobi smoother sub-PC (-mg_levels_pc_type bjacobi with
+    # bs x bs blocks, PCBJACOBI beyond the 1-block point degeneracy).
+    # 0 = point Jacobi.  Unstructured path only (needs assembled CSR).
+    bjacobi_bs: int = 0
 
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["op", "dinv", "rho", "transfer"],
+    data_fields=["op", "dinv", "rho", "transfer", "bjac"],
     meta_fields=[],
 )
 @dataclasses.dataclass
 class Level:
     op: StarStencil3D | VarStencil27
     dinv: jax.Array                      # 1 / diag, field view
-    rho: jax.Array                       # rho(D^{-1} A) estimate (scalar)
+    rho: jax.Array                       # rho(M^{-1} A) estimate (scalar)
     transfer: StructuredTransfer | None  # None on the coarsest level
+    bjac: object | None = None           # BlockJacobi smoother sub-PC
+    # (None = point Jacobi; set by the unstructured setup when
+    # AMGParams.bjacobi_bs > 0)
 
 
 @partial(
@@ -114,6 +121,11 @@ def gamg_setup(fine_op, params: AMGParams = AMGParams()) -> Hierarchy:
         raise ValueError("only nsmooths in {0, 1} supported")
     if params.smoother not in ("richardson", "chebyshev"):
         raise ValueError(f"unknown smoother {params.smoother!r}")
+    if params.bjacobi_bs:
+        raise ValueError(
+            "bjacobi_bs needs an assembled CSR — use the unstructured path"
+            " (amg.unstructured.gamg_setup_unstructured)"
+        )
     levels: list[Level] = []
     op = fine_op
     while True:
@@ -174,18 +186,24 @@ def cast_hierarchy(hier: Hierarchy, dtype) -> Hierarchy:
 def _smooth(hier: Hierarchy, lev: Level, b: jax.Array, x: jax.Array | None):
     """Apply the level smoother to A x = b starting from x (None = zero).
 
-    richardson: x += damping * D^{-1} (b - A x), ``degree`` sweeps
+    richardson: x += damping * M^{-1} (b - A x), ``degree`` sweeps
     (``-mg_levels_ksp_type richardson`` parity, scale = damping).
-    chebyshev: degree-k Chebyshev polynomial in D^{-1} A targeting
-    [cheby_lo, cheby_hi] * rho — PETSc KSPChebyshev+jacobi equivalent,
-    and GAMG's own default smoother.
+    chebyshev: degree-k Chebyshev polynomial in M^{-1} A targeting
+    [cheby_lo, cheby_hi] * rho — PETSc KSPChebyshev equivalent, and GAMG's
+    own default smoother.  M^{-1} is point Jacobi (``lev.dinv``) or real
+    block-Jacobi when ``lev.bjac`` is set (``-mg_levels_pc_type bjacobi``
+    beyond the one-block degeneracy).
     """
+    if lev.bjac is not None:
+        pc = lev.bjac.apply
+    else:
+        pc = lambda r: lev.dinv * r
     if hier.smoother == "richardson":
         for _ in range(hier.degree):
             if x is None:
-                x = hier.damping * lev.dinv * b
+                x = hier.damping * pc(b)
             else:
-                x = x + hier.damping * lev.dinv * (b - lev.op.mv(x))
+                x = x + hier.damping * pc(b - lev.op.mv(x))
         return x
 
     # chebyshev
@@ -196,12 +214,12 @@ def _smooth(hier: Hierarchy, lev: Level, b: jax.Array, x: jax.Array | None):
     sigma = theta / delta
     rho_c = 1.0 / sigma
     r = b if x is None else b - lev.op.mv(x)
-    d = (lev.dinv * r) / theta
+    d = pc(r) / theta
     x = d if x is None else x + d
     for _ in range(hier.degree - 1):
         rho_new = 1.0 / (2.0 * sigma - rho_c)
         r = b - lev.op.mv(x)
-        d = rho_new * rho_c * d + (2.0 * rho_new / delta) * (lev.dinv * r)
+        d = rho_new * rho_c * d + (2.0 * rho_new / delta) * pc(r)
         x = x + d
         rho_c = rho_new
     return x
@@ -222,7 +240,10 @@ def vcycle(
     """
     lev = hier.levels[level]
     if lev.transfer is None:
-        return lev.dinv * b  # preonly + jacobi coarse solve
+        # preonly + (block-)jacobi coarse solve
+        if lev.bjac is not None:
+            return lev.bjac.apply(b)
+        return lev.dinv * b
     x = _smooth(hier, lev, b, None)
     r = b - lev.op.mv(x)
     e_c = lev.transfer.restrict(lev.op, lev.dinv, r)

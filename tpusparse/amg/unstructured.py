@@ -47,6 +47,37 @@ class ELLTransfer:
         return self.r.mv(x)
 
 
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["agg", "w", "omega"],
+    meta_fields=["n_coarse"],
+)
+@dataclasses.dataclass
+class FactoredTransfer:
+    """P kept in factored form P = (I - omega D^-1 A) T instead of as an
+    explicit matrix: T's action is one gather from the SMALL coarse vector
+    (prolong) / one segment-sum into it (restrict), and the smoothing factor
+    reuses the level operator's gather-free DIA mv.  This removes the
+    fine-sized ELL index gathers from the V-cycle entirely — the shape the
+    deployed v5e libtpu crashes on — and stores O(n) instead of O(n*width).
+    """
+
+    agg: jax.Array    # (n_fine,) int32 aggregate id
+    w: jax.Array      # (n_fine,) float: 1/sqrt(|aggregate|) per member
+    omega: jax.Array  # prolongator-smoothing damping (0 when nsmooths=0)
+    n_coarse: int
+
+    def prolong(self, fine_op, dinv, e_c):
+        t = self.w * e_c[self.agg]
+        return t - self.omega * (dinv * fine_op.mv(t))
+
+    def restrict(self, fine_op, dinv, x):
+        s = x - self.omega * fine_op.mv(dinv * x)
+        return jax.ops.segment_sum(
+            self.w * s, self.agg, num_segments=self.n_coarse
+        )
+
+
 def strength_graph(a: HostCSR, threshold: float) -> "np.ndarray":
     """Boolean strong-connection mask over a's entries.
 
@@ -137,23 +168,58 @@ def tentative_prolongator(agg: np.ndarray):
     return sp.csr_matrix((vals, (np.arange(n), agg)), shape=(n, n_agg))
 
 
-def _rho_dinv_a(a_sp, dinv: np.ndarray, iters: int = 25) -> float:
+def _rho_m_a(a_sp, m_apply, iters: int = 25) -> float:
+    """Power iteration for rho(M^{-1} A) with an arbitrary host apply."""
     v = np.sin(np.arange(a_sp.shape[0]) * 0.7 + 0.3)
     v /= np.linalg.norm(v)
     for _ in range(iters):
-        w = dinv * (a_sp @ v)
+        w = m_apply(a_sp @ v)
         v = w / np.linalg.norm(w)
-    return float(v @ (dinv * (a_sp @ v)))
+    return float(v @ m_apply(a_sp @ v))
+
+
+def _rho_dinv_a(a_sp, dinv: np.ndarray, iters: int = 25) -> float:
+    return _rho_m_a(a_sp, lambda r: dinv * r, iters)
 
 
 def gamg_setup_unstructured(
-    a: HostCSR, params: AMGParams = AMGParams(), dtype=None
+    a: HostCSR, params: AMGParams = AMGParams(), dtype=None,
+    device_format: str = "auto", max_offsets: int = 192,
+    transfer_format: str = "auto",
 ) -> Hierarchy:
-    """Build a device Hierarchy from an arbitrary symmetric HostCSR."""
+    """Build a device Hierarchy from an arbitrary symmetric HostCSR.
+
+    ``device_format`` picks the level-operator container: "dia" (banded,
+    gather-free — runs inside solver loops at any size on the deployed v5e
+    libtpu, which crashes on gather-mv in loops at >= ~2M rows), "ell"
+    (padded gather form), or "auto" (DIA when the level occupies at most
+    ``max_offsets`` diagonals — true for mesh-graph matrices, the
+    reference's entire problem class — else ELL).
+
+    ``transfer_format``: "factored" keeps P = (I - omega D^-1 A) T in
+    factored form (no fine-sized index gathers; see FactoredTransfer),
+    "ell" materializes explicit P / P^T matrices, "auto" = factored.
+    """
     import scipy.sparse as sp
+
+    from tpusparse.sparse.dia import DIA
 
     if params.nsmooths not in (0, 1):
         raise ValueError("only nsmooths in {0, 1} supported")
+    if device_format not in ("auto", "dia", "ell"):
+        raise ValueError(f"unknown device_format {device_format!r}")
+    if transfer_format not in ("auto", "factored", "ell"):
+        raise ValueError(f"unknown transfer_format {transfer_format!r}")
+    factored = transfer_format in ("auto", "factored")
+
+    def make_op(h: HostCSR):
+        if device_format in ("auto", "dia"):
+            try:
+                return DIA.from_csr(h, max_offsets=max_offsets, dtype=dtype)
+            except ValueError:
+                if device_format == "dia":
+                    raise
+        return ELL.from_csr(h, dtype=dtype)
     a_sp = a.to_scipy()
     levels: list[Level] = []
     transfers: list[ELLTransfer | None] = []
@@ -162,7 +228,35 @@ def gamg_setup_unstructured(
         n = a_sp.shape[0]
         diag = a_sp.diagonal()
         dinv = 1.0 / diag
-        rho = _rho_dinv_a(a_sp, dinv, params.rho_iters) * params.rho_safety
+        bjac = None
+        if params.bjacobi_bs > 1:
+            # real PCBJACOBI smoother sub-PC: invert bs x bs diagonal blocks
+            from tpusparse.solve.bjacobi import BlockJacobi
+
+            bjac = BlockJacobi.build(
+                HostCSR.from_scipy(a_sp), params.bjacobi_bs, dtype=dtype
+            )
+            inv_np = np.asarray(
+                jax.device_get(bjac.dinv_blocks), np.float64
+            )
+            nb, bs = inv_np.shape[0], params.bjacobi_bs
+
+            def m_apply(r, inv_np=inv_np, nb=nb, bs=bs, n=n):
+                rb = np.pad(r, (0, nb * bs - n)).reshape(nb, bs)
+                return np.einsum("kij,kj->ki", inv_np, rb).reshape(-1)[:n]
+
+            # chebyshev bounds must track the actual smoother: rho(M^-1 A);
+            # the prolongator smoothing below stays point-Jacobi (GAMG
+            # semantics), so its omega keeps rho(D^-1 A)
+            rho = _rho_m_a(a_sp, m_apply, params.rho_iters) * params.rho_safety
+            rho_point = (
+                _rho_dinv_a(a_sp, dinv, params.rho_iters) * params.rho_safety
+            )
+        else:
+            rho = (
+                _rho_dinv_a(a_sp, dinv, params.rho_iters) * params.rho_safety
+            )
+            rho_point = rho
         last = n <= params.coarse_eq_limit or len(levels) + 1 >= params.max_levels
         if not last:
             agg = greedy_aggregate(
@@ -170,27 +264,38 @@ def gamg_setup_unstructured(
             )
             if agg.max() + 1 >= n:  # aggregation stalled
                 last = True
-        op_ell = ELL.from_csr(
-            HostCSR.from_scipy(a_sp), dtype=dtype
-        )
+        op_dev = make_op(HostCSR.from_scipy(a_sp))
         lev_common = dict(
-            op=op_ell,
-            dinv=jnp.asarray(dinv, op_ell.dtype),
-            rho=jnp.asarray(rho, op_ell.dtype),
+            op=op_dev,
+            dinv=jnp.asarray(dinv, op_dev.dtype),
+            rho=jnp.asarray(rho, op_dev.dtype),
+            bjac=bjac,
         )
         if last:
             levels.append(Level(transfer=None, **lev_common))
             break
         t = tentative_prolongator(agg)
+        omega = params.omega_scale / rho_point if params.nsmooths == 1 else 0.0
         if params.nsmooths == 1:
-            omega = params.omega_scale / rho
             p = (t - omega * sp.diags(dinv) @ (a_sp @ t)).tocsr()
         else:
             p = t
-        transfer = ELLTransfer(
-            p=ELL.from_csr(HostCSR.from_scipy(p), dtype=dtype),
-            r=ELL.from_csr(HostCSR.from_scipy(p.T.tocsr()), dtype=dtype),
-        )
+        if factored:
+            n_c = int(agg.max()) + 1
+            sizes = np.bincount(agg, minlength=n_c).astype(np.float64)
+            transfer = FactoredTransfer(
+                agg=jnp.asarray(agg, jnp.int32),
+                w=jnp.asarray(
+                    1.0 / np.sqrt(sizes[agg]), lev_common["dinv"].dtype
+                ),
+                omega=jnp.asarray(omega, lev_common["dinv"].dtype),
+                n_coarse=n_c,
+            )
+        else:
+            transfer = ELLTransfer(
+                p=ELL.from_csr(HostCSR.from_scipy(p), dtype=dtype),
+                r=ELL.from_csr(HostCSR.from_scipy(p.T.tocsr()), dtype=dtype),
+            )
         levels.append(Level(transfer=transfer, **lev_common))
         # Galerkin triple product (PETSc MatPtAP parity): native C++ SpGEMM
         # when built (tpusparse/native), scipy otherwise

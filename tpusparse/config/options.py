@@ -53,6 +53,11 @@ class Options:
     mg_levels_ksp_max_it: int = 2          # sweeps / chebyshev degree
     mg_levels_pc_type: str = "bjacobi"
     mg_levels_sub_pc_type: str = "jacobi"
+    # real PCBJACOBI block SIZE (TPU extension: PETSc's -pc_bjacobi_blocks
+    # gives a COUNT; uniform batched blocks want a size).  0 = the
+    # one-block-per-process point degeneracy (the reference's own shape).
+    # Needs the unstructured (assembled-CSR) path.
+    pc_bjacobi_bs: int = 0
     mg_levels_ksp_richardson_scale: float = 1.0
     pc_mg_cycle_type: str = "v"            # v | w (amg/hierarchy.vcycle gamma)
     mg_coarse_ksp_type: str = "preonly"
@@ -75,6 +80,7 @@ class Options:
             smoother=self.mg_levels_ksp_type,
             degree=self.mg_levels_ksp_max_it,
             smooth_damping=self.mg_levels_ksp_richardson_scale,
+            bjacobi_bs=self.pc_bjacobi_bs,
         )
 
     def validate(self) -> "Options":

@@ -1,6 +1,7 @@
 from tpusparse.sparse.bsr import BSR
 from tpusparse.sparse.coo import COO
 from tpusparse.sparse.csr import HostCSR
+from tpusparse.sparse.dia import DIA
 from tpusparse.sparse.ell import ELL
 from tpusparse.sparse.padded import PaddedStar, crop_field, pad_field
 from tpusparse.sparse.stencil import StarStencil3D, StarStencilDF
@@ -10,6 +11,7 @@ __all__ = [
     "BSR",
     "COO",
     "HostCSR",
+    "DIA",
     "ELL",
     "PaddedStar",
     "StarStencil3D",

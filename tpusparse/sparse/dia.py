@@ -1,0 +1,165 @@
+"""Device-resident DIA (diagonal/banded) sparse matrix — the gather-free
+general-matrix path on TPU.
+
+Why it exists: the deployed v5e libtpu crashes its worker when gather-based
+SpMV (ELL/COO/BSR ``x[cols]``) runs inside solver loops at >= ~2M rows (see
+``sparse/ell.py`` and the repo known-issue notes) — which capped round 1's
+unstructured AMG at 64^3 on chip.  A DIA matrix stores one value array per
+*occupied diagonal* and applies
+
+    y = sum_k  bands[k] * shift(x, offsets[k])
+
+where every shift is a static ``lax.pad`` slice — **no gather anywhere**, so
+the mv runs inside ``lax.while_loop`` CG at any size, at stencil-like
+bandwidth.  Matrices that arise from meshes (the reference's entire problem
+class: DMDA grids, ``/root/reference/src/helper.cpp:161-246``, and their
+Galerkin coarse operators under lexicographic aggregate numbering) occupy
+few distinct diagonals, so the format is dense-free: the 7-point Poisson has
+7 bands; its smoothed-aggregation coarse operators ~27-challenge.
+
+Storage: ``bands`` is (K, n); entry (k, r) = A[r, r + offsets[k]].  Rows
+whose diagonal leaves the matrix hold zeros.  ``from_csr`` refuses matrices
+occupying more than ``max_offsets`` diagonals (storage is K*n — a general
+dense-ish matrix would explode); callers fall back to ELL.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def _shift(x: jax.Array, o: int, n: int | None = None) -> jax.Array:
+    """y[r] = x[r + o] for r in [0, n) (zeros shifted in), along axis 0.
+    ``n`` defaults to len(x) (square frame)."""
+    m = x.shape[0]
+    n = m if n is None else n
+    if o == 0 and n == m:
+        return x
+    cfg = [(-o, n - m + o, 0)] + [(0, 0, 0)] * (x.ndim - 1)
+    return lax.pad(x, jnp.zeros((), x.dtype), cfg)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["bands"],
+    meta_fields=["offsets", "shape"],
+)
+@dataclasses.dataclass
+class DIA:
+    """Banded matrix: ``bands[k, r] = A[r, r + offsets[k]]``."""
+
+    bands: jax.Array               # (K, n) float
+    offsets: tuple[int, ...]       # static, sorted
+    shape: tuple[int, int]
+
+    @property
+    def n_rows(self) -> int:
+        return self.shape[0]
+
+    @property
+    def n_cols(self) -> int:
+        return self.shape[1]
+
+    @property
+    def dtype(self):
+        return self.bands.dtype
+
+    @property
+    def nnz(self):
+        return jnp.sum(self.bands != 0).astype(jnp.int64)
+
+    # --- construction --------------------------------------------------------
+    @classmethod
+    def from_csr(
+        cls, csr, max_offsets: int = 192, dtype=None, device=None
+    ) -> "DIA":
+        """Convert a HostCSR/scipy CSR.  Raises ValueError when the matrix
+        occupies more than ``max_offsets`` diagonals (fall back to ELL)."""
+        from tpusparse.sparse.csr import HostCSR
+
+        if not isinstance(csr, HostCSR):
+            csr = HostCSR.from_scipy(csr)
+        n, m = csr.shape
+        rows = np.repeat(
+            np.arange(n, dtype=np.int64), np.diff(csr.indptr)
+        )
+        off = csr.indices.astype(np.int64) - rows
+        offsets = np.unique(off)
+        if offsets.size > max_offsets:
+            raise ValueError(
+                f"matrix occupies {offsets.size} diagonals"
+                f" > max_offsets={max_offsets}; use ELL"
+            )
+        if offsets.size == 0:
+            offsets = np.zeros(1, np.int64)
+        k = np.searchsorted(offsets, off)
+        data = csr.data.astype(dtype) if dtype is not None else csr.data
+        bands = np.zeros((offsets.size, n), data.dtype)
+        bands[k, rows] = data
+        return cls(
+            bands=jax.device_put(bands, device=device),
+            offsets=tuple(int(o) for o in offsets),
+            shape=(n, m),
+        )
+
+    def to_scipy(self):
+        import scipy.sparse as sp
+
+        bands = np.asarray(jax.device_get(self.bands))
+        n, m = self.shape
+        rows, cols, vals = [], [], []
+        for k, o in enumerate(self.offsets):
+            r = np.arange(max(0, -o), min(n, m - o))
+            v = bands[k, r]
+            keep = v != 0
+            rows.append(r[keep])
+            cols.append(r[keep] + o)
+            vals.append(v[keep])
+        a = sp.csr_matrix(
+            (np.concatenate(vals), (np.concatenate(rows),
+                                    np.concatenate(cols))),
+            shape=self.shape,
+        )
+        a.sum_duplicates()
+        a.sort_indices()
+        return a
+
+    # --- operators ------------------------------------------------------------
+    def mv(self, x: jax.Array) -> jax.Array:
+        """y = A @ x: K fused multiply-adds over shifted views — no gather
+        (MatMult_SeqAIJ capability, crash-free inside jitted solver loops)."""
+        n = self.n_rows
+        y = self.bands[0] * _shift(x, self.offsets[0], n)
+        for k, o in enumerate(self.offsets[1:], start=1):
+            y = y + self.bands[k] * _shift(x, o, n)
+        return y
+
+    def mm(self, x: jax.Array) -> jax.Array:
+        """Y = A @ X for dense X of shape (n_cols, j)."""
+        n = self.n_rows
+        y = self.bands[0][:, None] * _shift(x, self.offsets[0], n)
+        for k, o in enumerate(self.offsets[1:], start=1):
+            y = y + self.bands[k][:, None] * _shift(x, o, n)
+        return y
+
+    def rmv(self, y: jax.Array) -> jax.Array:
+        """x = A^T @ y: shift the products the other way (still gather-free)."""
+        m = self.n_cols
+        x = _shift(self.bands[0] * y, -self.offsets[0], m)
+        for k, o in enumerate(self.offsets[1:], start=1):
+            x = x + _shift(self.bands[k] * y, -o, m)
+        return x
+
+    def diagonal(self) -> jax.Array:
+        if 0 in self.offsets:
+            return self.bands[self.offsets.index(0)]
+        return jnp.zeros(self.n_rows, self.dtype)
+
+    def __matmul__(self, x):
+        return self.mv(x)
