@@ -1,0 +1,82 @@
+"""Distributed general sparse matrices (MPIAIJ parity) on the 8-device
+virtual mesh: block-row DistDIA mv + fully sharded unstructured CG+GAMG must
+match single-device results iteration-for-iteration.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpusparse import Grid3D
+from tpusparse.amg import AMGParams, vcycle
+from tpusparse.amg.unstructured import gamg_setup_unstructured
+from tpusparse.dist.general import (
+    DistDIA,
+    make_row_mesh,
+    shard_unstructured_hierarchy,
+    shard_vector,
+)
+from tpusparse.grid.poisson import assemble_poisson
+from tpusparse.solve import cg
+from tpusparse.sparse.dia import DIA
+
+
+def _system(n=16):
+    a, b, exact = assemble_poisson(Grid3D(n, n, n))
+    return a, jnp.asarray(b), jnp.asarray(exact)
+
+
+@pytest.mark.parametrize("p", [2, 4, 8])
+def test_dist_dia_mv_matches_single(p):
+    a, b, _ = _system(8)
+    d = DIA.from_csr(a)
+    mesh = make_row_mesh(p)
+    dd = DistDIA.shard(d, mesh)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(a.n_rows))
+    y1 = np.asarray(d.mv(x))
+    y2 = np.asarray(jax.jit(lambda m, v: m.mv(v))(dd, shard_vector(x, mesh)))
+    np.testing.assert_allclose(y2, y1, rtol=1e-12, atol=1e-12)
+
+
+def test_dist_dia_rejects_bad_partition():
+    a, _, _ = _system(8)   # 512 rows
+    d = DIA.from_csr(a)
+    mesh = make_row_mesh(8)  # 64 rows/shard < max offset 64? offsets +-64
+    # max |offset| = 64 == rows/shard: OK;  3 shards does not divide
+    with pytest.raises(ValueError, match="divisible"):
+        DistDIA.shard(d, make_row_mesh(3))
+
+
+def test_sharded_unstructured_cg_gamg_iteration_parity():
+    """The VERDICT item-3 gate: sharded general-matrix CG+GAMG matches the
+    single-device solve iteration-for-iteration."""
+    a, b, exact = _system(16)
+    # auto: DIA for the (banded) fine operator, ELL fallback for the
+    # wider-stencil coarse levels (small, below the gather-crash cap, and
+    # replicated anyway)
+    hier = gamg_setup_unstructured(
+        a, AMGParams(coarse_eq_limit=64),
+        device_format="auto", transfer_format="factored",
+    )
+    res1 = cg(hier.levels[0].op.mv, b, rtol=1e-8, maxiter=300,
+              m_mv=lambda r: vcycle(hier, r))
+    assert res1.converged()
+
+    mesh = make_row_mesh(8)
+    hier_s = shard_unstructured_hierarchy(hier, mesh)
+    b_s = shard_vector(b, mesh)
+
+    def solve(h, b):
+        return cg(h.levels[0].op.mv, b, rtol=1e-8, maxiter=300,
+                  m_mv=lambda r: vcycle(h, r))
+
+    res8 = jax.jit(solve)(hier_s, b_s)
+    assert res8.converged()
+    assert int(res8.iters) == int(res1.iters)
+    np.testing.assert_allclose(
+        np.asarray(res8.x), np.asarray(res1.x), rtol=1e-8, atol=1e-10
+    )
+    # manufactured-solution gate (Linf ~ O(h^2)), like the reference driver
+    linf = float(jnp.max(jnp.abs(res8.x - exact)))
+    assert linf < 5e-2

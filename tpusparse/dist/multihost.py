@@ -34,8 +34,14 @@ def initialize(
     On Cloud TPU pods all arguments are auto-detected; elsewhere pass the
     coordinator host:port and this process's rank, or set
     JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID.
+
+    Must run before any backend-initializing JAX call — so the check below
+    is on the distributed client only; calling e.g. ``jax.process_count()``
+    here would itself initialize the backend and break the bring-up (bug
+    found by tests/test_multiprocess.py, the first real 2-process exercise
+    of this path).
     """
-    if jax.process_count() > 1 or _already_initialized():
+    if _already_initialized():
         return
     kw = {}
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
