@@ -1,0 +1,72 @@
+"""vcycle_fused (temporally-blocked fine level) vs the standard vcycle.
+
+The fused cycle must be the same preconditioner up to benign reassociation:
+close outputs, identical CG iteration counts (±1) — the parity gate the
+reference establishes across its own kernel variants (SURVEY.md section 4,
+cross-variant consistency).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpusparse.amg import AMGParams, gamg_setup, vcycle
+from tpusparse.amg.fused_cycle import fused_fine_supported, vcycle_fused
+from tpusparse.grid.grid3d import Grid3D
+from tpusparse.grid.poisson import poisson_stencil
+from tpusparse.solve import cg
+from tpusparse.sparse.padded import PaddedStar, pad_field
+
+
+def _setup(n=24, smoother="chebyshev", backend="interpret"):
+    grid = Grid3D(n, n, n)
+    op, b, exact = poisson_stencil(grid, dtype=np.float32)
+    pop = PaddedStar.from_star(op, backend=backend)
+    hier = gamg_setup(
+        pop, AMGParams(coarse_eq_limit=40, smoother=smoother)
+    )
+    return pop, hier, pad_field(b.astype(jnp.float32))
+
+
+@pytest.mark.parametrize("smoother", ["chebyshev", "richardson"])
+@pytest.mark.parametrize("backend", ["interpret", "xla"])
+def test_fused_cycle_matches_vcycle(smoother, backend):
+    pop, hier, b_p = _setup(smoother=smoother, backend=backend)
+    assert fused_fine_supported(hier)
+    z_ref = vcycle(hier, b_p)
+    z_fused = vcycle_fused(hier, b_p)
+    ref = np.asarray(z_ref)
+    np.testing.assert_allclose(
+        np.asarray(z_fused), ref, rtol=1e-4,
+        atol=1e-4 * np.abs(ref).max(),
+    )
+
+
+@pytest.mark.parametrize("gamma", [1, 2])
+def test_fused_cycle_cg_iteration_parity(gamma):
+    pop, hier, b_p = _setup(backend="interpret")
+    r_ref = cg(
+        pop.mv, b_p, rtol=1e-6, maxiter=100,
+        m_mv=lambda r: vcycle(hier, r, gamma=gamma),
+    )
+    r_fused = cg(
+        pop.mv, b_p, rtol=1e-6, maxiter=100,
+        m_mv=lambda r: vcycle_fused(hier, r, gamma=gamma),
+    )
+    assert r_ref.converged() and r_fused.converged()
+    assert abs(int(r_ref.iters) - int(r_fused.iters)) <= 1
+
+
+def test_unsupported_falls_back():
+    """degree != 2 isn't fused — must silently use the standard cycle."""
+    grid = Grid3D(18, 18, 18)
+    op, b, _ = poisson_stencil(grid, dtype=np.float32)
+    pop = PaddedStar.from_star(op, backend="xla")
+    hier = gamg_setup(pop, AMGParams(coarse_eq_limit=40, degree=3))
+    assert not fused_fine_supported(hier)
+    b_p = pad_field(b.astype(jnp.float32))
+    np.testing.assert_allclose(
+        np.asarray(vcycle_fused(hier, b_p)),
+        np.asarray(vcycle(hier, b_p)),
+        rtol=0, atol=0,
+    )

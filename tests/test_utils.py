@@ -75,6 +75,33 @@ def test_scaling_efficiency_math():
     assert abs(weff[2] - 1.0) < 1e-12
 
 
+def test_weak_scaling_projection_model():
+    """comm_model: exact halo volumes from the sharding layout + a
+    monotone, <=1 projected efficiency anchored at 1.0 for one device."""
+    from tpusparse.bench.scaling import MODEL, ScalingPoint, comm_model
+
+    pts = [
+        ScalingPoint(1, 64, 64, 64, t_solve=1.0, iters=20, linf_error=0,
+                     nnz=7 * 64 ** 3),
+        ScalingPoint(2, 64, 64, 128, t_solve=1.0, iters=20, linf_error=0,
+                     nnz=7 * 64 ** 2 * 128),
+        ScalingPoint(8, 64, 128, 256, t_solve=1.0, iters=20, linf_error=0,
+                     nnz=7 * 64 * 128 * 256),
+    ]
+    proj = comm_model(pts, t_iter_1dev=0.05)
+    assert proj[0]["projected_efficiency"] == 1.0
+    assert proj[0]["halo_bytes_per_iter"] == 0
+    # 2 devices: (pz, py) = (2, 1): z-faces only, 2 planes of 64*64 f32
+    want = 2 * 64 * 64 * 4 * MODEL["fine_applies_per_iter"]
+    assert proj[1]["halo_bytes_per_iter"] == want
+    # 8 devices (4, 2): both axes exchange; volume grows, efficiency drops
+    assert proj[2]["halo_bytes_per_iter"] > proj[1]["halo_bytes_per_iter"]
+    assert 0.0 < proj[2]["projected_efficiency"] <= proj[1][
+        "projected_efficiency"] < 1.0
+    # the north-star gate is satisfiable under the model at this box size
+    assert proj[2]["projected_efficiency"] > 0.7
+
+
 def test_plots_from_records(tmp_path):
     from tpusparse.bench.plots import plot_efficiency, plot_scaling
 

@@ -103,6 +103,65 @@ def _reference_line(p: ScalingPoint) -> str:
     )
 
 
+# --- bandwidth-model weak-scaling projection --------------------------------
+# Emulated-mesh wall times are meaningless for efficiency claims (one CPU
+# executes every "device"), but the COMMUNICATION VOLUME is exact: it is
+# fixed by the sharding layout.  This model turns it into a falsifiable
+# projected efficiency with its inputs recorded alongside (VERDICT item 9).
+MODEL = {
+    # v5e ICI: ~1600 Gbps aggregate per chip over 4 links -> per-link,
+    # per-direction sustained assumption (public "How to Scale" numbers)
+    "ici_bytes_per_s": 4.5e10,
+    # small-allreduce latency per reduction round on a single-host mesh
+    "psum_latency_s": 1.0e-5,
+    # fine-level operator applies per CG+AMG iteration: V-cycle 6 + CG 1
+    "fine_applies_per_iter": 7,
+    # scalar reductions per CG iteration (alpha dot, r.z, ||r||)
+    "psums_per_iter": 3,
+}
+
+
+def comm_model(pts: list[ScalingPoint], t_iter_1dev: float) -> list[dict]:
+    """Per-point halo volume + projected weak-scaling efficiency.
+
+    eff = t_compute / (t_compute + t_halo + t_latency), with t_compute held
+    at the measured single-device per-iteration time (weak scaling keeps
+    per-device work constant) and halo planes read off the (pz, py) field
+    sharding: each sharded axis exchanges one boundary plane per face per
+    fine apply (send+recv are counted once each — full duplex links).
+    """
+    from tpusparse.dist.mesh import _factor2
+
+    out = []
+    itemsize = 4  # f32 inner fields carry the fine-level traffic
+    for p in pts:
+        pz, py = _factor2(p.n_devices)
+        bz, by = p.nz // pz, p.ny // py
+        plane_z = by * p.nx * itemsize      # z-face plane bytes
+        plane_y = bz * p.nx * itemsize      # y-face plane bytes
+        faces_z = 2 if pz > 1 else 0
+        faces_y = 2 if py > 1 else 0
+        halo_per_apply = faces_z * plane_z + faces_y * plane_y
+        halo_per_iter = halo_per_apply * MODEL["fine_applies_per_iter"]
+        t_halo = halo_per_iter / MODEL["ici_bytes_per_s"]
+        t_lat = MODEL["psums_per_iter"] * MODEL["psum_latency_s"]
+        if p.n_devices == 1:
+            t_halo = t_lat = 0.0
+        eff = t_iter_1dev / (t_iter_1dev + t_halo + t_lat)
+        out.append(
+            {
+                "n_devices": p.n_devices,
+                "mesh": [pz, py],
+                "halo_bytes_per_iter": int(halo_per_iter),
+                "psums_per_iter": MODEL["psums_per_iter"],
+                "t_halo_s": t_halo,
+                "t_latency_s": t_lat,
+                "projected_efficiency": eff,
+            }
+        )
+    return out
+
+
 def efficiency(pts: list[ScalingPoint], weak: bool) -> dict[int, float]:
     """Scaling efficiency vs the smallest device count in the sweep."""
     base = pts[0]
@@ -116,13 +175,22 @@ def efficiency(pts: list[ScalingPoint], weak: bool) -> dict[int, float]:
     return out
 
 
-def save_json(pts: list[ScalingPoint], mode: str, path: pathlib.Path) -> None:
+def save_json(
+    pts: list[ScalingPoint], mode: str, path: pathlib.Path,
+    t_iter_1dev: float | None = None,
+) -> None:
     rec = {
         "mode": mode,
         "backend": jax.default_backend(),
         "points": [dataclasses.asdict(p) for p in pts],
         "efficiency": efficiency(pts, weak=(mode == "weak")),
     }
+    if mode == "weak":
+        # measured per-iteration compute time anchors the projection; on an
+        # emulated mesh it is still a real single-process measurement
+        t1 = t_iter_1dev or pts[0].t_solve / max(pts[0].iters, 1)
+        rec["projection_model"] = dict(MODEL, t_iter_1dev_s=t1)
+        rec["projection"] = comm_model(pts, t1)
     path.parent.mkdir(parents=True, exist_ok=True)
     path.write_text(json.dumps(rec, indent=2))
     print(f"wrote {path}")

@@ -93,6 +93,25 @@ def run(n: int = 300, reps: int = 20, dtype=jnp.float64):
             )
         )
 
+    # DIA form: the gather-free GENERAL-matrix container (sparse/dia.py) —
+    # runs at any size on the deployed libtpu (no gather to crash), so it
+    # fills the general-SpMV roofline row the ELL cap leaves open.
+    from tpusparse.sparse.dia import DIA
+
+    a, bh, _ = assemble_poisson(grid, dtype=jnp.dtype(dtype).type)
+    dia = DIA.from_csr(a)
+    xd = jnp.asarray(bh)
+    stats.append(
+        bench_op(
+            f"dia{len(dia.offsets)}_mv_{n}^3_{jnp.dtype(dtype).name}",
+            lambda d, x: d.mv(x), dia, xd,
+            flops=spmv_flops(a.nnz, grid.n),
+            # traffic: K band reads + K shifted x streams + y write
+            bytes_=(2 * len(dia.offsets) + 1) * grid.n * vb,
+            nnz=a.nnz, reps=reps,
+        )
+    )
+
     # ELL form (width 8).  Deployed-libtpu caveat: gather-based mv crashes
     # the TPU worker above a few million rows even in fixed-trip loops
     # (2.1M rows fine, 27M fatal — see sparse/bsr.py known-issue note), so
@@ -100,7 +119,6 @@ def run(n: int = 300, reps: int = 20, dtype=jnp.float64):
     if is_tpu_backend() and grid.n > 4_000_000:
         print(f"# ell8_mv_{n}^3 skipped on TPU (gather cap, {grid.n} rows)")
         return stats
-    a, bh, _ = assemble_poisson(grid, dtype=jnp.dtype(dtype).type)
     ell = ELL.from_csr(a, width=8)
     x = jnp.asarray(bh)
     mv_ell = jax.jit(lambda e, x: e.mv(x))
