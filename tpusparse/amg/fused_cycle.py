@@ -1,0 +1,108 @@
+"""V-cycle with a temporally-blocked fine level — two kernel launches per
+cycle instead of ~6 operator applies.
+
+The fine level dominates a V-cycle's cost (27x the bytes of level 1 at the
+reference's 3^3 aggregation).  ``vcycle_fused`` runs it with the
+kernels/fused7.py 'descent' (pre-smooth both steps + residual + P^T
+smoothing, 3 chained stencils in ~2 reads + 2 writes) and 'ascent'
+(P smoothing + correction + both post-smoothing steps in ~4 reads + 1
+write); the coarse hierarchy recurses through the standard ``vcycle``
+unchanged.  Supported configuration = the reference's GAMG setup
+(``configs/PETSc_SolverOptions_GAMG.info``): smoothed-aggregation transfer,
+chebyshev or richardson smoother of degree 2; anything else falls back to
+the standard cycle automatically.
+
+The fused fine level reproduces ``hierarchy._smooth``/``vcycle`` math with
+two benign reassociations (scalars multiplied as s0 = 1/theta instead of
+dividing by theta; the diag*(D^-1 r) == r identity in the transfer pass), so
+CG iteration counts match the unfused cycle to within rounding noise.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from tpusparse.amg.hierarchy import Hierarchy, vcycle
+from tpusparse.kernels.fused7 import fused7_call, fused7_xla
+from tpusparse.sparse.padded import PaddedStar, PaddedTransfer, crop_field, pad_field
+
+
+def fused_fine_supported(hier: Hierarchy) -> bool:
+    """True when the level-0 configuration maps onto the fused kernels."""
+    lev = hier.levels[0]
+    return (
+        isinstance(lev.op, PaddedStar)
+        and isinstance(lev.transfer, PaddedTransfer)
+        and hier.smoother in ("chebyshev", "richardson")
+        and hier.degree == 2
+        and jnp.dtype(lev.op.dtype) == jnp.float32
+    )
+
+
+def _fine_scalars(hier: Hierarchy, lev):
+    """(s0, ad, g) smoother scalars: the degree-2 recurrence of
+    hierarchy._smooth expressed as one fused step each for pre and post."""
+    f32 = jnp.float32
+    if hier.smoother == "richardson":
+        w = hier.damping.astype(f32)
+        return w, jnp.zeros((), f32), w
+    rho = lev.rho.astype(f32)
+    lo = hier.cheby_lo * rho
+    hi = hier.cheby_hi * rho
+    theta = 0.5 * (hi + lo)
+    delta = 0.5 * (hi - lo)
+    sigma = theta / delta
+    rho_c = 1.0 / sigma
+    rho_new = 1.0 / (2.0 * sigma - rho_c)
+    s0 = 1.0 / theta               # first-step scale (1/theta)
+    ad = rho_new * rho_c           # d-recurrence coefficient
+    g = 2.0 * rho_new / delta      # residual-term coefficient
+    return s0.astype(f32), ad.astype(f32), g.astype(f32)
+
+
+def vcycle_fused(hier: Hierarchy, b_p, gamma: int = 1):
+    """One multigrid cycle from a zero guess with the fused fine level.
+
+    Same contract as ``hierarchy.vcycle`` on a padded-resident fine level;
+    falls back to it when the configuration is unsupported.
+    """
+    if not fused_fine_supported(hier):
+        return vcycle(hier, b_p, gamma=gamma)
+    lev = hier.levels[0]
+    op: PaddedStar = lev.op
+    tr: PaddedTransfer = lev.transfer
+    inner = tr.inner
+    s0, ad, g = _fine_scalars(hier, lev)
+    gw = inner.omega.astype(jnp.float32)
+    shape = op.true_shape
+    interpret = op.backend == "interpret"
+
+    # scalar-slot assignment per mode (see fused7 kernel): descent uses
+    # s0 (pre step 1), ad+g (pre step 2), gw; ascent uses gw, g-slot for
+    # post step 1 (the 1/theta scale, i.e. s0 here) and ad+g2 for step 2.
+    if op._use_pallas():
+        def call(mode, x_p, d_p, g_slot, g2_slot):
+            return fused7_call(
+                mode, op.diag, op.cx, op.cy, op.cz, x_p, b_p, d_p,
+                g_slot, ad, s0, shape=shape, pinned=op.pinned,
+                interpret=interpret, gw=gw, g2=g2_slot,
+            )
+    else:
+        def call(mode, x_p, d_p, g_slot, g2_slot):
+            return fused7_xla(
+                mode, op, x_p, b_p, d_p, g_slot, ad, s0, gw=gw, g2=g2_slot
+            )
+
+    # downstroke: pre-smooth + residual + P^T-smoothing pass, fused
+    x1, s = call("descent", b_p, b_p, g, g)
+    r_c = inner.tT_apply(crop_field(s, inner.fine_shape))
+
+    e = vcycle(hier, r_c, level=1, gamma=gamma)
+    for _ in range(gamma - 1):
+        # W-cycle: re-enter the coarse hierarchy on the updated residual
+        r_c2 = r_c - hier.levels[1].op.mv(e)
+        e = e + vcycle(hier, r_c2, level=1, gamma=gamma)
+
+    # upstroke: P smoothing + correction + post-smooth, fused
+    t = pad_field(inner.t_apply(e))
+    return call("ascent", t, x1, s0, g)

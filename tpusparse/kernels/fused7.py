@@ -1,0 +1,560 @@
+"""Fused 7-point-stencil kernels — the V-cycle's fine level in minimal HBM
+passes.
+
+Motivation (round-1 audit, results/README.md): the production V-cycle spends
+~5.6 effective HBM passes per fine-level operator apply against a 3-pass
+minimum, because each XLA ``lax.pad``-shift apply materializes intermediates
+and the standalone-faster Pallas mv loses *in context* — the custom call
+blocks XLA from fusing the surrounding smoother/residual elementwise work.
+The fix is the reference's own step-4 lesson taken further
+(``/root/reference/src/openacc-step4/MatMult_SeqAIJ.patch:50-91``: pipeline
+the kernel against its transfers): pull the neighboring elementwise work
+*into* the kernel, and **chain multiple stencil applications per HBM pass**
+(temporal blocking over the FACE=3-deep halo planes of the padded layout).
+
+Kernel family (one gridless double-buffered slab pipeline, output write DMAs
+double-buffered so slab i's writeback overlaps slab i+1's compute):
+
+=========== =================================================== =============
+mode        computes                                            HBM passes
+=========== =================================================== =============
+mv          w = A x                                             3
+residual    b - A x                                             4
+rich        x + g * D^-1 (b - A x)                              5
+cheb0       d' = g D^-1 (b - A x);  x' = x + d'                 6
+cheb        d' = ad*d + g D^-1 (b - A x);  x' = x + d'          7
+pre2        u = s0 D^-1 b;  d' = ad*u + g D^-1 (b - A u);       4
+            x' = u + d'          (both pre-smoothing steps)
+restrict    r - g * A (D^-1 r)     (P^T smoothing pass)         3
+prolong     t - g * D^-1 (A t)     (P smoothing pass)           3
+descent     the V-cycle's ENTIRE fine-level downstroke:         ~4.6*
+            u  = s0 D^-1 b                 (pre-smooth 1)
+            x1 = u + ad*u + g D^-1 (b-Au)  (pre-smooth 2)
+            r  = b - A x1                  (residual)
+            s  = r - gw A (D^-1 r)         (P^T smoothing)
+            out: (x1, s)  — 3 chained stencils, 2 reads+2 writes
+ascent      the ENTIRE fine-level upstroke:                     ~6*
+            x2 = x1 + t - gw D^-1 (A t)    (P smoothing + add)
+            d  = g0 D^-1 (b - A x2)        (post-smooth 1)
+            x3 = x2 + d
+            x4 = x3 + ad*d + g D^-1 (b-Ax3) (post-smooth 2)
+            out: x4       — 3 chained stencils, 4 reads+1 write
+=========== =================================================== =============
+
+(*descent/ascent windows overlap by up to 6 planes between consecutive
+slabs, so their effective pass counts carry a (tz+6)/tz re-read factor.)
+
+A pass = one fine-field read or write of HBM traffic.  D is the ``diag``
+field inverted on the VPU — reading diag instead of a separate dinv array is
+what keeps the smoother modes lean.  One CG+AMG iteration's fine level drops
+from ~40 XLA passes to descent + ascent + one mv ≈ 14.
+
+Toolchain constraints honored (probed on the deployed v5e Mosaic — see
+``kernels/stencil7.py``): gridless kernels only, explicit ``make_async_copy``
+DMAs, i32 index math, no scalar VMEM stores, traced scalars ride in as
+replicated (8, nxp) planes.
+
+Layouts: padded-resident fields (``sparse/padded.py``): (nz+2*FACE, nyp,
+nxp) with zero faces/pads; diag pads are 1.0 (safe to invert).  Chained
+stencil steps re-zero out-of-domain planes after every step, preserving both
+the Neumann dropped-entry boundary (``/root/reference/src/helper.cpp:229-233``)
+and the pad-zero invariant.  f32 only.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpusparse.kernels.stencil7 import FACE, _pick_tz, padded_shape
+
+# per-mode operand windows: slot -> halo depth (planes beyond the slab on
+# each side).  Slots: p (primary stencil input), diag, b, d (fourth operand).
+_WINDOWS = {
+    "mv": {"p": 1, "diag": 0},
+    "residual": {"p": 1, "diag": 0, "b": 0},
+    "rich": {"p": 1, "diag": 0, "b": 0},
+    "cheb0": {"p": 1, "diag": 0, "b": 0},
+    "cheb": {"p": 1, "diag": 0, "b": 0, "d": 0},
+    "pre2": {"p": 3, "diag": 3},             # p = b
+    "restrict": {"p": 1, "diag": 1},         # p = r
+    "prolong": {"p": 1, "diag": 0},          # p = t
+    "descent": {"p": 3, "diag": 3},          # p = b
+    "ascent": {"p": 3, "diag": 2, "b": 1, "d": 2},  # p = t, d = x1
+}
+_TWO_OUT = {"cheb0", "cheb", "pre2", "descent"}
+MODES = tuple(_WINDOWS)
+
+
+def _pick_tz_mode(nz: int, ny: int, nx: int, mode: str) -> int:
+    """Slab depth for the composite (3-chained-stencil) modes.
+
+    Their VMEM pressure is dominated by Mosaic's live *temporaries* (the
+    chained intermediate windows), not just the declared scratch — measured
+    on the v5e: tz=20 at 300^3 wants 204MB of the 128MB VMEM.  The budget
+    below models scratch + ~8 live window temporaries and is calibrated so
+    300^3 lands on tz=10 (compiles with room to spare)."""
+    if mode not in ("descent", "ascent", "pre2"):
+        return _pick_tz(nz)
+    from tpusparse.kernels.stencil7 import _pad_to
+
+    plane = _pad_to(ny, 8) * _pad_to(nx, 128) * 4
+    budget = 118 * 1024 * 1024
+    halos = _WINDOWS[mode]
+    n_out = 2 if mode in _TWO_OUT else 1
+    # live-temporary window count, calibrated on the v5e at 300^3:
+    # descent compiles at tz=10 and OOMs at 12; ascent (deeper chain, four
+    # buffered operands) compiles at tz=6 and OOMs at 10
+    temps = 12 if mode == "ascent" else 8
+    best = 0
+    for tz in range(2, nz + 1):
+        if nz % tz or nz // tz < 2:
+            continue
+        need = plane * (
+            sum(2 * (tz + 2 * h) for h in halos.values())  # dbl-buf inputs
+            + 2 * n_out * tz                               # dbl-buf outputs
+            + temps * (tz + 2 * FACE)                      # live temporaries
+            + FACE
+        )
+        if need <= budget and tz > best:
+            best = tz
+    return best if best else _pick_tz(nz)
+
+
+def _kernel(
+    coef_ref, p_hbm, d_hbm, b_hbm, dd_hbm, y_hbm, y2_hbm,
+    ps, ds, bs, dds, ys, zp_buf, sp, sd, sb, sdd, swb, sz,
+    *, mode, tz, nz, ny, nx, nyp, pinned,
+):
+    """Gridless pair-pipelined slab loop over 2-D row views.
+
+    A z-plane is ``nyp`` rows; slab i owns domain planes [i*tz, i*tz+tz),
+    living at padded planes [i*tz + FACE, ...).  An operand with halo h is
+    DMA'd as rows [i*rows + (FACE-h)*nyp, i*rows + (FACE+h)*nyp + rows).
+    """
+    nxp = ys.shape[-1]
+    rows = tz * nyp
+    grid = nz // tz
+    i32 = jnp.int32
+    halos = _WINDOWS[mode]
+    n_out = 2 if mode in _TWO_OUT else 1
+
+    # scalars ride in SMEM (legalizes in gridless kernels — probed; the
+    # grid-kernel limitation recorded for round 1 does not apply here) and
+    # read as true 0-d values: fully-replicated layouts that any later
+    # value slice handles.  ((1, nxp) broadcast rows are NOT safe: Mosaic
+    # pushes row-slices of their products onto the dim-1 operand and
+    # SIGABRTs in ApplyVectorLayout.)
+    cx = coef_ref[0, 0]
+    cy = coef_ref[1, 0]
+    cz = coef_ref[2, 0]
+    g = coef_ref[3, 0]
+    ad = coef_ref[4, 0]
+    s0 = coef_ref[5, 0]
+    gw = coef_ref[6, 0]
+    g2 = coef_ref[7, 0]
+
+    one = jnp.ones((), jnp.float32)
+    zero = jnp.zeros((), jnp.float32)
+
+    slots = [
+        ("p", p_hbm, ps, sp), ("diag", d_hbm, ds, sd),
+        ("b", b_hbm, bs, sb), ("d", dd_hbm, dds, sdd),
+    ]
+
+    def dma_in(name, hbm, buf_ref, sem, i, buf):
+        h = halos[name]
+        start = i * i32(rows) + i32((FACE - h) * nyp)
+        return pltpu.make_async_copy(
+            hbm.at[pl.ds(start, rows + 2 * h * nyp)],
+            buf_ref.at[jnp.int32(buf)], sem.at[jnp.int32(buf)],
+        )
+
+    def start_in(i, buf):
+        for name, hbm, buf_ref, sem in slots:
+            if name in halos:
+                dma_in(name, hbm, buf_ref, sem, i, buf).start()
+
+    def wait_in(i, buf):
+        for name, hbm, buf_ref, sem in slots:
+            if name in halos:
+                dma_in(name, hbm, buf_ref, sem, i, buf).wait()
+
+    def wb_copy(i, buf, out):
+        hbm = y_hbm if out == 0 else y2_hbm
+        return pltpu.make_async_copy(
+            ys.at[jnp.int32(out * 2 + buf)],
+            hbm.at[pl.ds(i * i32(rows) + i32(FACE * nyp), rows)],
+            swb.at[jnp.int32(out * 2 + buf)],
+        )
+
+    # --- window algebra ------------------------------------------------------
+    def rlen(h):
+        return rows + 2 * h * nyp
+
+    def win(a, h_have, h_want):
+        """Slice an h_have-halo window down to h_want halos."""
+        off = (h_have - h_want) * nyp
+        return a[off:off + rlen(h_want)] if off else a
+
+    # Index arrays are built FRESH per window size, never sliced: iota
+    # values carry replicated Mosaic layouts (column iotas replicate over
+    # sublanes, row iotas over lanes), and slicing a replicated value trips
+    # an ApplyVectorLayout crash once the sliced dim spans >1 tile
+    # ("Check failed: limits[i] <= dim(i)", bisected on the v5e).  Fresh
+    # iotas are free — same replicated vregs — and window starts are plane
+    # multiples, so jj/kk0 are window-start independent.
+    def iotas(h):
+        """(ii, jj, kk0) index arrays for an h-halo window; kk0 + i*tz - h
+        is the domain plane index."""
+        R = rlen(h)
+        rr = jax.lax.broadcasted_iota(i32, (R, nxp), 0)
+        ii = jax.lax.broadcasted_iota(i32, (R, nxp), 1)
+        return (ii, rr % i32(nyp), rr // i32(nyp))
+
+    def mask_dom(v, h, i):
+        """Zero everything outside the domain on an h-halo window —
+        preserves both the pad-zero invariant and the Neumann boundary for
+        the NEXT chained stencil step."""
+        ii, jj, kk0 = iotas(h)
+        kk = i * i32(tz) + i32(-h) + kk0  # domain plane index
+        ok = (kk >= 0) & (kk < nz) & (jj < ny) & (ii < nx)
+        return jnp.where(ok, v, zero)
+
+    def apply_a(u, center, h_out, i):
+        """w = A u on the h_out-halo window; ``u`` must carry h_out+1 halos
+        and be zero outside the domain; ``center`` is the precomputed
+        diagonal term on the h_out window."""
+        R = rlen(h_out)
+        cur = u[nyp:nyp + R]
+        dn = u[0:R]
+        up = u[2 * nyp:2 * nyp + R]
+        ii, jj, kk0 = iotas(h_out)
+
+        xp = pltpu.roll(cur, i32(nxp - 1), 1)
+        xm = pltpu.roll(cur, jnp.int32(1), 1)
+        yp = pltpu.roll(cur, i32(R - 1), 0)
+        ym = pltpu.roll(cur, jnp.int32(1), 0)
+        zp = up
+        zm = dn
+        if nx == nxp:  # tile-aligned: no zero pad column, mask the edge
+            xp = jnp.where(ii < nx - 1, xp, zero)
+            xm = jnp.where(ii > 0, xm, zero)
+        if ny == nyp:
+            yp = jnp.where(jj < ny - 1, yp, zero)
+            ym = jnp.where(jj > 0, ym, zero)
+        if pinned:
+            kk = i * i32(tz) + i32(-h_out) + kk0
+            # column-0 zeroing: only rows (0,0,1), (0,1,0), (1,0,0) read
+            # x[0,0,0] as a neighbor — mask exactly those reads
+            xm = jnp.where((kk == 0) & (jj == 0) & (ii == 1), zero, xm)
+            ym = jnp.where((kk == 0) & (jj == 1) & (ii == 0), zero, ym)
+            zm = jnp.where((kk == 1) & (jj == 0) & (ii == 0), zero, zm)
+        w = center + cx * (xp + xm) + cy * (yp + ym) + cz * (zp + zm)
+        if pinned:
+            origin = (kk == 0) & (jj == 0) & (ii == 0)
+            w = jnp.where(origin, center, w)
+        return w
+
+    def compute(i, buf):
+        """Output tuple for slab i from double buffer ``buf`` (static)."""
+        p = ps[jnp.int32(buf)]
+        diag = ds[jnp.int32(buf)]
+        hp, hd = halos["p"], halos["diag"]
+
+        if mode == "mv":
+            w = apply_a(p, diag * win(p, 1, 0), 0, i)
+            return (mask_dom(w, 0, i),)
+        if mode == "residual":
+            w = apply_a(p, diag * win(p, 1, 0), 0, i)
+            return (mask_dom(bs[jnp.int32(buf)] - w, 0, i),)
+        if mode == "restrict":
+            u = p * (one / diag)                     # D^-1 r on h1
+            w = apply_a(u, win(p, 1, 0), 0, i)       # diag*(D^-1 r) == r
+            return (mask_dom(win(p, 1, 0) - g * w, 0, i),)
+        if mode == "prolong":
+            w = apply_a(p, diag * win(p, 1, 0), 0, i)
+            return (
+                mask_dom(win(p, 1, 0) - g * ((one / diag) * w), 0, i),
+            )
+        if mode in ("rich", "cheb0", "cheb"):
+            cur = win(p, 1, 0)
+            w = apply_a(p, diag * cur, 0, i)
+            s = (one / diag) * (bs[jnp.int32(buf)] - w)
+            if mode == "rich":
+                return (mask_dom(cur + g * s, 0, i),)
+            if mode == "cheb0":
+                dnew = g * s
+            else:
+                dnew = ad * dds[jnp.int32(buf)] + g * s
+            return (
+                mask_dom(cur + dnew, 0, i), mask_dom(dnew, 0, i)
+            )
+        if mode == "pre2":
+            dinv3 = one / diag
+            u3 = (s0 * p) * dinv3                    # pre-smooth 1 (h3)
+            w = apply_a(win(u3, 3, 1), s0 * win(p, 3, 0), 0, i)
+            u0 = win(u3, 3, 0)
+            dnew = ad * u0 + g * ((one / win(diag, 3, 0)) * (win(p, 3, 0) - w))
+            return (
+                mask_dom(u0 + dnew, 0, i), mask_dom(dnew, 0, i)
+            )
+        if mode == "descent":
+            b3, diag3 = p, diag
+            dinv3 = one / diag3
+            u3 = (s0 * b3) * dinv3                   # pre-smooth 1; zero at
+            # pads by construction (b pads 0, diag pads 1)
+            w1 = apply_a(u3, s0 * win(b3, 3, 2), 2, i)
+            u2 = win(u3, 3, 2)
+            x1_2 = u2 + ad * u2 + g * (
+                (one / win(diag3, 3, 2)) * (win(b3, 3, 2) - w1)
+            )                                        # pre-smooth 2 (h2)
+            x1_2 = mask_dom(x1_2, 2, i)
+            w2 = apply_a(x1_2, win(diag3, 3, 1) * win(x1_2, 2, 1), 1, i)
+            r1 = mask_dom(win(b3, 3, 1) - w2, 1, i)  # residual (h1)
+            u1 = r1 * (one / win(diag3, 3, 1))
+            w3 = apply_a(u1, win(r1, 1, 0), 0, i)    # diag*(D^-1 r) == r
+            s_ = mask_dom(win(r1, 1, 0) - gw * w3, 0, i)
+            return (win(x1_2, 2, 0), s_)
+        if mode == "ascent":
+            t3, diag2 = p, diag
+            x1_2 = dds[jnp.int32(buf)]
+            b1 = bs[jnp.int32(buf)]
+            dinv2 = one / diag2
+            wt = apply_a(t3, win(diag2, 2, 2) * win(t3, 3, 2), 2, i)
+            x2_2 = mask_dom(
+                x1_2 + win(t3, 3, 2) - gw * (dinv2 * wt), 2, i
+            )                                        # prolong-smooth + add
+            w1 = apply_a(x2_2, win(diag2, 2, 1) * win(x2_2, 2, 1), 1, i)
+            dinv1 = one / win(diag2, 2, 1)
+            d1 = mask_dom(g * (dinv1 * (b1 - w1)), 1, i)  # post-smooth 1
+            x3_1 = mask_dom(win(x2_2, 2, 1) + d1, 1, i)
+            w2 = apply_a(x3_1, win(diag2, 2, 0) * win(x3_1, 1, 0), 0, i)
+            dnew = ad * win(d1, 1, 0) + g2 * (
+                (one / win(diag2, 2, 0)) * (win(b1, 1, 0) - w2)
+            )                                        # post-smooth 2
+            return (mask_dom(win(x3_1, 1, 0) + dnew, 0, i),)
+        raise AssertionError(mode)
+
+    # zero the output face planes (padded-layout invariant)
+    zp_buf[:] = jnp.zeros_like(zp_buf)
+    for out, hbm in ((0, y_hbm), (1, y2_hbm))[:n_out]:
+        lo = pltpu.make_async_copy(
+            zp_buf, hbm.at[pl.ds(0, FACE * nyp)], sz
+        )
+        lo.start()
+        lo.wait()
+        hi = pltpu.make_async_copy(
+            zp_buf, hbm.at[pl.ds(i32((nz + FACE) * nyp), FACE * nyp)], sz
+        )
+        hi.start()
+        hi.wait()
+
+    def run(i, buf, prefetch, pbuf, wait_wb):
+        """Process slab i in buffer ``buf`` while ``prefetch`` loads; when
+        ``wait_wb`` the previous writeback from this buffer (slab i-2) is
+        drained before the staging buffer is overwritten."""
+        start_in(prefetch, pbuf)
+        wait_in(i, buf)
+        if wait_wb:
+            for out in range(n_out):
+                wb_copy(i - i32(2), buf, out).wait()
+        vals = compute(i, buf)
+        for out in range(n_out):
+            ys[jnp.int32(out * 2 + buf)] = vals[out]
+            wb_copy(i, buf, out).start()
+
+    # peel the first pair: its buffers have no writeback to wait on
+    start_in(i32(0), 0)
+    run(i32(0), 0, jax.lax.rem(i32(1), i32(grid)), 1, False)
+    if grid > 1:
+        run(i32(1), 1, jax.lax.rem(i32(2), i32(grid)), 0, False)
+
+    def pair(j, carry):
+        first = j * i32(2)
+        run(first, 0, jax.lax.rem(first + 1, i32(grid)), 1, True)
+        run(first + 1, 1, jax.lax.rem(first + 2, i32(grid)), 0, True)
+        return carry
+
+    n_pairs = grid // 2
+    if n_pairs > 1:
+        jax.lax.fori_loop(i32(1), i32(n_pairs), pair, i32(0), unroll=False)
+    if grid % 2 and grid > 1:
+        # odd tail: slab grid-1 was prefetched into buffer 0 by the last run
+        last = i32(grid - 1)
+        wait_in(last, 0)
+        if grid > 2:
+            for out in range(n_out):
+                wb_copy(last - i32(2), 0, out).wait()
+        vals = compute(last, 0)
+        for out in range(n_out):
+            ys[jnp.int32(out * 2 + 0)] = vals[out]
+            wb_copy(last, 0, out).start()
+    else:
+        # even grid: the wrapped prefetch (slab 0) is in flight; drain it
+        wait_in(i32(0), 0)
+
+    # drain the final writebacks
+    for out in range(n_out):
+        wb_copy(i32(grid - 1), (grid - 1) % 2, out).wait()
+        if grid > 1:
+            wb_copy(i32(grid - 2), (grid - 2) % 2, out).wait()
+
+
+def _coef_smem(vals, dtype):
+    """(8, 1) SMEM scalar block: cx, cy, cz, g, ad, s0, gw, g2."""
+    return jnp.stack(
+        [jnp.asarray(c, dtype).reshape(()) for c in vals]
+    ).reshape(8, 1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "shape", "pinned", "interpret", "tz_override"),
+)
+def fused7_call(
+    mode: str,
+    diag_p, cx, cy, cz,
+    x_p,
+    b_p,
+    d_p,
+    g, ad, s0,
+    shape: tuple[int, int, int],
+    pinned: bool,
+    interpret: bool = False,
+    gw=0.0,
+    g2=0.0,
+    tz_override: int | None = None,
+):
+    """Invoke one fused kernel.  All fields in the padded layout
+    (``padded_shape(shape)``); pass ``x_p`` for unused operands (they are
+    never read).  Scalars may be traced.  Returns one padded field, or a
+    tuple of two for the two-output modes.
+
+    Operand meaning per mode: ``x_p`` is the primary stencil input (x; r for
+    'restrict'; t for 'prolong'/'ascent'; ignored for 'pre2'/'descent' whose
+    primary is ``b_p``); ``d_p`` is the Chebyshev d for 'cheb' and x1 for
+    'ascent'.
+    """
+    if mode not in MODES:
+        raise ValueError(f"unknown mode {mode!r}")
+    nz, ny, nx = shape
+    nzp2, nyp, nxp = diag_p.shape
+    tz = tz_override or _pick_tz_mode(nz, ny, nx, mode)
+    if tz == 0:
+        raise ValueError(f"unsupported nz={nz} for the fused star7 kernel")
+    if (nzp2, nyp, nxp) != padded_shape(shape):
+        raise ValueError(
+            f"fields {diag_p.shape} != padded_shape({shape})="
+            f"{padded_shape(shape)}"
+        )
+    f32 = jnp.float32
+    coef = _coef_smem((cx, cy, cz, g, ad, s0, gw, g2), f32)
+    halos = _WINDOWS[mode]
+    primary = b_p if mode in ("pre2", "descent") else x_p
+    p2 = primary.reshape(nzp2 * nyp, nxp)
+    d2 = diag_p.reshape(nzp2 * nyp, nxp)
+    b2 = (b_p if "b" in halos else primary).reshape(nzp2 * nyp, nxp)
+    dd2 = (d_p if "d" in halos else primary).reshape(nzp2 * nyp, nxp)
+
+    rows = tz * nyp
+    n_out = 2 if mode in _TWO_OUT else 1
+
+    def buf(name):
+        if name not in halos and name != "p":
+            # unused operand slot: minimal placeholder, never DMA'd
+            return pltpu.VMEM((1, 8, nxp), f32)
+        h = halos.get(name, 0)
+        return pltpu.VMEM((2, rows + 2 * h * nyp, nxp), f32)
+
+    kernel = functools.partial(
+        _kernel, mode=mode, tz=tz, nz=nz, ny=ny, nx=nx, nyp=nyp,
+        pinned=pinned,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec((8, 1), memory_space=pltpu.SMEM),  # scalars
+            pl.BlockSpec(memory_space=pl.ANY),      # primary (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),      # diag (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),      # b (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),      # d (HBM)
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_shape=[
+            jax.ShapeDtypeStruct((nzp2 * nyp, nxp), f32) for _ in range(2)
+        ],
+        scratch_shapes=[
+            buf("p"), buf("diag"), buf("b"), buf("d"),
+            pltpu.VMEM((2 * n_out, rows, nxp), f32),     # out staging
+            pltpu.VMEM((FACE * nyp, nxp), f32),          # zero faces
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((4,)),               # writebacks
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+            has_side_effects=True,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=40 * nz * ny * nx,
+            bytes_accessed=(3 + n_out) * nz * ny * nx * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(coef, p2, d2, b2, dd2)
+    y = outs[0].reshape(nzp2, nyp, nxp)
+    if n_out == 2:
+        return y, outs[1].reshape(nzp2, nyp, nxp)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# XLA reference implementations (same formulations, same padded layout).
+# These pin down kernel semantics in tests and serve as the CPU fallback.
+# ---------------------------------------------------------------------------
+
+def fused7_xla(mode, op, x_p, b_p, d_p, g, ad, s0, gw=0.0, g2=0.0):
+    """Reference/fallback math for each mode on a PaddedStar ``op``."""
+    one = jnp.ones((), jnp.float32)
+    dinv = one / op.diag
+    if mode == "mv":
+        return op.mv(x_p)
+    if mode == "residual":
+        return b_p - op.mv(x_p)
+    if mode == "rich":
+        return x_p + g * (dinv * (b_p - op.mv(x_p)))
+    if mode == "cheb0":
+        d = g * (dinv * (b_p - op.mv(x_p)))
+        return x_p + d, d
+    if mode == "cheb":
+        d = ad * d_p + g * (dinv * (b_p - op.mv(x_p)))
+        return x_p + d, d
+    if mode == "pre2":
+        u = (s0 * b_p) * dinv
+        d = ad * u + g * (dinv * (b_p - op.mv(u)))
+        return u + d, d
+    if mode == "restrict":
+        return x_p - g * op.mv(dinv * x_p)
+    if mode == "prolong":
+        return x_p - g * (dinv * op.mv(x_p))
+    if mode == "descent":
+        u = (s0 * b_p) * dinv
+        x1 = u + ad * u + g * (dinv * (b_p - op.mv(u)))
+        r = b_p - op.mv(x1)
+        s = r - gw * op.mv(dinv * r)
+        return x1, s
+    if mode == "ascent":
+        t, x1 = x_p, d_p
+        x2 = x1 + t - gw * (dinv * op.mv(t))
+        d = g * (dinv * (b_p - op.mv(x2)))
+        x3 = x2 + d
+        return x3 + ad * d + g2 * (dinv * (b_p - op.mv(x3)))
+    raise ValueError(f"unknown mode {mode!r}")

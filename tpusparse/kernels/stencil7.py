@@ -79,11 +79,18 @@ def _pad_to(v: int, m: int) -> int:
     return (v + m - 1) // m * m
 
 
+# z-face pad depth of the resident layout.  3 (not 1) so the temporally
+# blocked kernels in kernels/fused7.py can chain up to three stencil
+# applications per HBM pass (each consumes one halo plane); costs ~1.3%
+# extra bytes per pass at 300^3 and dissolves the edge-slab special cases.
+FACE = 3
+
+
 def padded_shape(shape: tuple[int, int, int]) -> tuple[int, int, int]:
-    """The resident layout for a (nz, ny, nx) field: one zero plane per z
+    """The resident layout for a (nz, ny, nx) field: FACE zero planes per z
     face, (ny, nx) rounded up to the f32 (8, 128) tile."""
     nz, ny, nx = shape
-    return (nz + 2, _pad_to(ny, 8), _pad_to(nx, 128))
+    return (nz + 2 * FACE, _pad_to(ny, 8), _pad_to(nx, 128))
 
 
 def star7_supported(shape: tuple[int, int, int], dtype) -> bool:
@@ -120,15 +127,17 @@ def _kernel(
     cz = coef_ref[pl.ds(16, 8)][0:1, :]
 
     def dma_x(i, buf):
+        # halo-1 window: padded planes [i*tz + FACE - 1, i*tz + tz + FACE + 1)
         return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(i * i32(rows), rows + 2 * nyp)],
+            x_hbm.at[pl.ds(i * i32(rows) + i32((FACE - 1) * nyp),
+                           rows + 2 * nyp)],
             xs.at[jnp.int32(buf)], sx.at[jnp.int32(buf)],
         )
 
     def dma_d(i, buf):
-        # domain plane k0 = i*tz lives at padded plane i*tz + 1
+        # domain plane k0 = i*tz lives at padded plane i*tz + FACE
         return pltpu.make_async_copy(
-            diag_hbm.at[pl.ds(i * i32(rows) + i32(nyp), rows)],
+            diag_hbm.at[pl.ds(i * i32(rows) + i32(FACE * nyp), rows)],
             ds.at[jnp.int32(buf)], sd.at[jnp.int32(buf)],
         )
 
@@ -189,7 +198,7 @@ def _kernel(
 
     def writeback(i):
         wb = pltpu.make_async_copy(
-            ys, y_hbm.at[pl.ds(i * i32(rows) + i32(nyp), rows)], sy
+            ys, y_hbm.at[pl.ds(i * i32(rows) + i32(FACE * nyp), rows)], sy
         )
         wb.start()
         wb.wait()
@@ -203,13 +212,13 @@ def _kernel(
         ys[:] = compute(i, buf)
         writeback(i)
 
-    # zero y's two face planes (one DMA per face from a zeroed VMEM plane)
+    # zero y's face planes (one DMA per face from a zeroed VMEM block)
     zp_buf[:] = jnp.zeros_like(zp_buf)
-    face_lo = pltpu.make_async_copy(zp_buf, y_hbm.at[pl.ds(0, nyp)], sz)
+    face_lo = pltpu.make_async_copy(zp_buf, y_hbm.at[pl.ds(0, FACE * nyp)], sz)
     face_lo.start()
     face_lo.wait()
     face_hi = pltpu.make_async_copy(
-        zp_buf, y_hbm.at[pl.ds(i32((nz + 1) * nyp), nyp)], sz
+        zp_buf, y_hbm.at[pl.ds(i32((nz + FACE) * nyp), FACE * nyp)], sz
     )
     face_hi.start()
     face_hi.wait()
@@ -295,7 +304,7 @@ def star7_mv_padded(
             pltpu.VMEM((2, rows + 2 * nyp, nxp), x_p.dtype),  # x double buf
             pltpu.VMEM((2, rows, nxp), x_p.dtype),            # diag dbl buf
             pltpu.VMEM((rows, nxp), x_p.dtype),               # y staging
-            pltpu.VMEM((nyp, nxp), x_p.dtype),                # zero plane
+            pltpu.VMEM((FACE * nyp, nxp), x_p.dtype),         # zero faces
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
@@ -324,10 +333,10 @@ def star7_mv_pallas(diag, cx, cy, cz, x, pinned: bool, interpret: bool = False):
     backend) — used by the CPU test suite to pin down kernel semantics."""
     nz, ny, nx = x.shape
     nzp2, nyp, nxp = padded_shape(x.shape)
-    pad = ((1, 1), (0, nyp - ny), (0, nxp - nx))
+    pad = ((FACE, FACE), (0, nyp - ny), (0, nxp - nx))
     x_p = jnp.pad(x, pad)
     diag_p = jnp.pad(diag, pad)
     y_p = star7_mv_padded(
         diag_p, cx, cy, cz, x_p, (nz, ny, nx), pinned, interpret
     )
-    return y_p[1:nz + 1, :ny, :nx]
+    return y_p[FACE:nz + FACE, :ny, :nx]

@@ -6,7 +6,11 @@ inside the V-cycle where the operator applies 6-7 times per CG iteration.
 This module moves the padding INTO the solver state: every level-0 field
 (x, b, r, p, diag, dinv, ...) lives permanently in the layout
 
-    (nz + 2, ny_p, nx_p)       ny_p = ceil8(ny), nx_p = ceil128(nx)
+    (nz + 2*FACE, ny_p, nx_p)      ny_p = ceil8(ny), nx_p = ceil128(nx)
+
+(FACE = kernels.stencil7.FACE zero planes per z face — enough halo depth for
+the temporally-blocked kernels in kernels/fused7.py to chain three stencil
+applications in one HBM pass)
 
 with the invariant that **every pad cell of every vector is zero**.  All
 elementwise solver algebra (axpy, dots, Jacobi/Chebyshev updates) preserves
@@ -35,6 +39,7 @@ import numpy as np
 from jax import lax
 
 from tpusparse.kernels.stencil7 import (
+    FACE,
     is_tpu_backend,
     padded_shape,
     star7_supported,
@@ -47,14 +52,15 @@ def pad_field(x: jax.Array, value: float = 0.0) -> jax.Array:
     nzp2, nyp, nxp = padded_shape(x.shape)
     nz, ny, nx = x.shape
     return jnp.pad(
-        x, ((1, 1), (0, nyp - ny), (0, nxp - nx)), constant_values=value
+        x, ((FACE, FACE), (0, nyp - ny), (0, nxp - nx)),
+        constant_values=value,
     )
 
 
 def crop_field(x_p: jax.Array, shape: tuple[int, int, int]) -> jax.Array:
     """Padded layout → (nz, ny, nx)."""
     nz, ny, nx = shape
-    return x_p[1:nz + 1, :ny, :nx]
+    return x_p[FACE:nz + FACE, :ny, :nx]
 
 
 @partial(
@@ -142,11 +148,11 @@ class PaddedStar:
         k = lax.broadcasted_iota(jnp.int32, x_p.shape, 0)
         j = lax.broadcasted_iota(jnp.int32, x_p.shape, 1)
         i = lax.broadcasted_iota(jnp.int32, x_p.shape, 2)
-        in_dom = (k >= 1) & (k <= nz) & (j < ny) & (i < nx)
+        in_dom = (k >= FACE) & (k < nz + FACE) & (j < ny) & (i < nx)
         zero = jnp.zeros((), x_p.dtype)
 
         if self.pinned:
-            origin = (k == 1) & (j == 0) & (i == 0)
+            origin = (k == FACE) & (j == 0) & (i == 0)
             xn = jnp.where(origin, zero, x_p)
         else:
             xn = x_p
