@@ -89,20 +89,36 @@ def test_sharded_matches_single(n_dev):
     )
 
 
-def test_driver_pipecg_requires_uniform_precision():
-    """pipecg + mixed precision is rejected up front (measured on-chip: the
-    pipelined recurrences NaN as the f32 inner solver at >=144^3); the
-    uniform-precision path works."""
-    import pytest
-
+def test_driver_pipecg_all_precisions():
+    """pipecg now runs as the mixed-precision inner solver too (VERDICT
+    item 6): f64 recurrence scalars + residual replacement cure the f32
+    recurrence cancellation that round 1 guarded against."""
     from tpusparse.bench.driver import solve_poisson
 
-    with pytest.raises(ValueError, match="pipecg"):
-        solve_poisson(16, rtol=1e-8, precision="mixed", ksp="pipecg")
+    for precision in ("f64", "mixed"):
+        rep = solve_poisson(
+            16, rtol=1e-6, pc="gamg", precision=precision, ksp="pipecg",
+            warmup=False,
+        )
+        assert rep.reason > 0, precision
+        assert rep.linf_error < 5e-2, precision
 
-    rep = solve_poisson(
-        16, rtol=1e-6, pc="gamg", precision="f64", ksp="pipecg",
-        warmup=False,
+
+def test_pipelined_f64_scalars_match_f32_vectors():
+    """scalar_dtype=f64 must not change the contract (still converges, same
+    solution) on an f32 solve."""
+    import numpy as np
+
+    from tpusparse.grid.grid3d import Grid3D
+    from tpusparse.grid.poisson import poisson_stencil
+
+    op, b, _ = poisson_stencil(Grid3D(12, 12, 12), dtype=np.float32)
+    r32 = cg_pipelined(op.mv, b, rtol=1e-4, maxiter=500)
+    r64 = cg_pipelined(
+        op.mv, b, rtol=1e-4, maxiter=500, scalar_dtype=jnp.float64
     )
-    assert rep.reason > 0
-    assert rep.linf_error < 5e-2
+    assert r32.converged() and r64.converged()
+    # same algorithm, same convergence contract; solutions are only
+    # comparable to within ||r||/lambda_min (large for the near-singular
+    # pinned Neumann operator), so gate on iteration-count agreement
+    assert abs(int(r64.iters) - int(r32.iters)) <= 0.25 * int(r32.iters)

@@ -90,17 +90,36 @@ class Hierarchy:
         return len(self.levels)
 
 
-@partial(jax.jit, static_argnames=("iters",))
-def estimate_rho_dinv_a(op, dinv, iters: int = 25) -> jax.Array:
+@partial(jax.jit, static_argnames=("iters", "true_shape"))
+def estimate_rho_dinv_a(
+    op, dinv, iters: int = 25, true_shape: tuple | None = None
+) -> jax.Array:
     """Power iteration for rho(D^{-1} A) (positive spectrum: A and D share
     sign).  Deterministic start vector; a handful of stencil applies.
+
+    ``true_shape``: the unpadded field shape when ``op`` is padded-resident.
+    The start vector is then built on the TRUE shape and zero-padded, so the
+    padded estimate coincides with the plain-layout one.  This is
+    load-bearing, not cosmetic: a start vector that merely *includes* pad
+    cells lands on a slightly different 25-iteration estimate (~1%), whose
+    omega perturbation compounds through four Galerkin levels into a
+    qualitatively wrong coarsest operator near the pinned origin — measured
+    on-chip at 300^3: coarsest rho 623 vs 1.57, sign-flipped diagonal
+    entries, an indefinite V-cycle, and a diverging CG.
 
     Jitted with the operator as an argument (never a closure constant — see
     driver.py note on literal bloat)."""
     shape = dinv.shape
-    n = int(np.prod(shape))
+    build_shape = true_shape if true_shape is not None else tuple(shape)
+    n = int(np.prod(build_shape))
     # deterministic, non-smooth start (avoid the near-null constant vector)
-    v = jnp.sin(jnp.arange(n, dtype=dinv.dtype) * 0.7 + 0.3).reshape(shape)
+    v = jnp.sin(
+        jnp.arange(n, dtype=dinv.dtype) * 0.7 + 0.3
+    ).reshape(build_shape)
+    if true_shape is not None and tuple(shape) != tuple(true_shape):
+        from tpusparse.sparse.padded import pad_field
+
+        v = pad_field(v)
 
     def body(_, v):
         w = dinv * op.mv(v)
@@ -138,7 +157,12 @@ def gamg_setup(fine_op, params: AMGParams = AMGParams()) -> Hierarchy:
             or len(levels) + 1 >= params.max_levels
             or min(shape) < 2
         )
-        rho = estimate_rho_dinv_a(op, dinv, params.rho_iters) * params.rho_safety
+        true = getattr(op, "true_shape", None)
+        padded = true is not None and tuple(true) != tuple(dinv.shape)
+        rho = estimate_rho_dinv_a(
+            op, dinv, params.rho_iters,
+            true_shape=tuple(true) if padded else None,
+        ) * params.rho_safety
         if last:
             levels.append(Level(op=op, dinv=dinv, rho=rho, transfer=None))
             break

@@ -123,18 +123,24 @@ def solve_poisson(
     if ksp == "cg":
         ksp_solve = cg
     elif ksp == "pipecg":
+        from tpusparse.solve.pipelined import cg_pipelined
+
         if precision in ("mixed", "tf"):
-            # measured on-chip: pipelined recurrences NaN out as the f32
-            # INNER solver of defect correction at >=144^3 (the extra
-            # auxiliary recurrences amplify f32 rounding; classic CG is
-            # fine).  pipecg is for uniform-precision solves where its
-            # single fused reduction pays off.
-            raise ValueError(
-                "-ksp_type pipecg requires -precision f64 or f32 "
-                "(pipelined recurrences are unstable as the f32 inner "
-                "solver of mixed-precision defect correction)"
+            # round 1 measured the f32 inner recurrences NaN'ing at >=144^3
+            # (the delta - beta*gamma/alpha denominator cancels in f32);
+            # the cure is f64 RECURRENCE SCALARS + tighter residual
+            # replacement — vectors and dots stay f32, so the cost is a few
+            # scalar ops per iteration (verified on-chip at 144^3-300^3)
+            from functools import partial as _partial
+
+            ksp_solve = _partial(
+                cg_pipelined,
+                scalar_dtype=jnp.float64
+                if jax.config.jax_enable_x64 else jnp.float32,
+                replace_every=20,
             )
-        from tpusparse.solve.pipelined import cg_pipelined as ksp_solve
+        else:
+            ksp_solve = cg_pipelined
     elif ksp == "richardson":
         # KSPRICHARDSON as the top-level (or inner, under mixed precision)
         # solver: multigrid-as-a-solver when pc=gamg
@@ -158,16 +164,23 @@ def solve_poisson(
     # low-precision twin for the inner solves (also the AMG's home dtype)
     op_lo = poisson_stencil(grid, dtype=np.float32)[0] if mixed else op
 
-    # padded-resident inner layout (sparse/padded.py).  "auto" resolves to
-    # the plain layout: measured on the v5e chip, XLA's fused stencil +
-    # smoother pipeline with the matmul transfers beats the padded/Pallas
-    # pipeline (0.73 s vs 0.88 s for 35 inner iterations at 300^3) because
-    # the custom call blocks elementwise fusion around each apply.  The
-    # padded path stays selectable and becomes the target once the kernel
-    # fuses its neighbors' work.
+    # padded-resident inner layout (sparse/padded.py).  Round 1 resolved
+    # "auto" to plain because the standalone Pallas mv lost in context (the
+    # custom call blocked XLA's elementwise fusion).  Round 2's fused
+    # descent/ascent kernels (kernels/fused7.py) pull the smoother/residual
+    # /transfer work INTO the kernel, so "auto" now resolves to padded on
+    # TPU whenever the kernels support the shape.
     if layout not in ("auto", "padded", "plain"):
         raise ValueError(f"unknown layout {layout!r}")
-    padded = mixed and n_devices == 1 and layout == "padded"
+    if layout == "auto":
+        from tpusparse.kernels.stencil7 import is_tpu_backend, star7_supported
+
+        padded = (
+            mixed and n_devices == 1 and is_tpu_backend()
+            and star7_supported(grid.shape, np.float32)
+        )
+    else:
+        padded = mixed and n_devices == 1 and layout == "padded"
     encode = decode = None
     if padded:
         from functools import partial as _partial
@@ -204,6 +217,14 @@ def solve_poisson(
                 lambda r: vcycle(
                     pc_state, r.astype(jnp.bfloat16), gamma=gamma
                 ).astype(r.dtype)
+            )
+        elif padded:
+            # temporally-blocked fine level (amg/fused_cycle.py): the whole
+            # downstroke and upstroke in one kernel launch each
+            from tpusparse.amg.fused_cycle import vcycle_fused
+
+            m_of = lambda pc_state: (
+                lambda r: vcycle_fused(pc_state, r, gamma=gamma)
             )
         else:
             m_of = lambda pc_state: (

@@ -214,6 +214,13 @@ def main(argv=None) -> int:
     ap.add_argument("--rtol", type=float, default=1e-8)
     ap.add_argument("--precision", default="mixed")
     ap.add_argument("--out", default="runs/scaling_{mode}.json")
+    ap.add_argument(
+        "--t-iter", type=float, default=None,
+        help="per-iteration compute time (s) anchoring the weak-scaling"
+        " projection; pass the CHIP-measured value when the sweep itself"
+        " runs on an emulated mesh (default: measured from the 1-device"
+        " point of this sweep)",
+    )
     args = ap.parse_args(argv)
 
     counts = [int(c) for c in args.devices.split(",")]
@@ -233,7 +240,10 @@ def main(argv=None) -> int:
     eff = efficiency(pts, weak=(args.mode == "weak"))
     for d, e in eff.items():
         print(f"  {d} devices: efficiency {e*100:.1f}%")
-    save_json(pts, args.mode, pathlib.Path(args.out.format(mode=args.mode)))
+    save_json(
+        pts, args.mode, pathlib.Path(args.out.format(mode=args.mode)),
+        t_iter_1dev=args.t_iter,
+    )
     return 0
 
 

@@ -53,6 +53,7 @@ def cg_pipelined(
     m_mv: Callable | None = None,
     replace_every: int = 50,
     history: bool = False,
+    scalar_dtype=None,
 ) -> CGResult:
     """Solve A x = b with pipelined PCG.  Same contract as ``cg``:
     convergence on ||r||_2 <= max(rtol*||b||_2, atol), PETSc-style
@@ -60,20 +61,28 @@ def cg_pipelined(
 
     ``replace_every``: residual-replacement period (0 disables).
     ``history=True`` additionally returns the ``(maxiter+1,)`` f32 residual
-    norm history (KSPMonitor data, as in ``cg``)."""
+    norm history (KSPMonitor data, as in ``cg``).
+    ``scalar_dtype``: dtype for the RECURRENCE SCALARS (gamma/delta/alpha/
+    beta) — the pipelined algorithm's extra recurrences amplify rounding in
+    exactly these quantities (the ``delta - beta*gamma/alpha`` denominator
+    cancels catastrophically in f32), so an f32 solve can carry f64 scalars
+    at negligible cost (a handful of scalar ops per iteration; the vectors
+    and dots stay f32).  Default: b's dtype."""
     if m_mv is None:
         m_mv = lambda r: r
     if x0 is None:
         x0 = jnp.zeros_like(b)
 
     dt = b.dtype
+    sdt = jnp.dtype(scalar_dtype) if scalar_dtype is not None else dt
+
     bnorm = jnp.sqrt(_dot(b, b)).astype(dt)
     tol = jnp.maximum(jnp.asarray(rtol, dt) * bnorm, jnp.asarray(atol, dt))
 
     r0 = b - a_mv(x0)
     u0 = m_mv(r0)
     w0 = a_mv(u0)
-    gamma0 = _dot(r0, u0)
+    gamma0 = _dot(r0, u0).astype(sdt)
     rnorm0 = jnp.sqrt(_dot(r0, r0))
 
     def classify(rnorm, it):
@@ -96,7 +105,7 @@ def cg_pipelined(
         )
 
     zeros = jnp.zeros_like(b)
-    one = jnp.ones((), dt)
+    one = jnp.ones((), sdt)
 
     def cond(state):
         rnorm, it = state[10], state[11]
@@ -110,20 +119,22 @@ def cg_pipelined(
         n = a_mv(m)
         # ONE fused reduction round: gamma_new, delta (and ||r|| below) all
         # reduce over vectors available now — a single collective when sharded
-        delta = _dot(w, u)
-        gamma_new = _dot(r, u)  # state's gamma is the previous iteration's
-        beta = jnp.where(first, jnp.zeros((), dt), gamma_new / gamma)
+        delta = _dot(w, u).astype(sdt)
+        gamma_new = _dot(r, u).astype(sdt)  # state's gamma = previous iter's
+        beta = jnp.where(first, jnp.zeros((), sdt), gamma_new / gamma)
         alpha = gamma_new / jnp.where(
             first, delta, delta - beta * gamma_new / alpha_old
         )
-        z = n + beta * z
-        q = m + beta * q
-        p = u + beta * p
-        s = w + beta * s
-        x = x + alpha * p
-        r = r - alpha * s
-        u = u - alpha * q
-        w = w - alpha * z
+        beta_v = beta.astype(dt)
+        alpha_v = alpha.astype(dt)
+        z = n + beta_v * z
+        q = m + beta_v * q
+        p = u + beta_v * p
+        s = w + beta_v * s
+        x = x + alpha_v * p
+        r = r - alpha_v * s
+        u = u - alpha_v * q
+        w = w - alpha_v * z
 
         if replace_every:
             # periodic residual replacement (Ghysels & Vanroose section 4):
