@@ -39,6 +39,27 @@ def fused_fine_supported(hier: Hierarchy) -> bool:
     )
 
 
+def preflight(hier: Hierarchy) -> bool:
+    """AOT-verify the composite kernels for this hierarchy's fine shape.
+
+    Mosaic's register-spill behavior has no reliable static predictor (see
+    fused7.preflight_tz), so callers on real TPUs should run this EAGERLY
+    (setup phase) before jitting a solve around ``vcycle_fused``: it walks a
+    slab-depth ladder per kernel, caches the first depth that compiles, and
+    returns False when none does (use the standard ``vcycle`` then)."""
+    if not fused_fine_supported(hier):
+        return False
+    op = hier.levels[0].op
+    if not op._use_pallas() or op.backend == "interpret":
+        return True
+    from tpusparse.kernels.fused7 import preflight_tz
+
+    return all(
+        preflight_tz(mode, op.true_shape, op.pinned) > 0
+        for mode in ("descent", "ascent")
+    )
+
+
 def _fine_scalars(hier: Hierarchy, lev):
     """(s0, ad, g) smoother scalars: the degree-2 recurrence of
     hierarchy._smooth expressed as one fused step each for pre and post."""
@@ -76,6 +97,15 @@ def vcycle_fused(hier: Hierarchy, b_p, gamma: int = 1):
     gw = inner.omega.astype(jnp.float32)
     shape = op.true_shape
     interpret = op.backend == "interpret"
+    if op._use_pallas() and not interpret:
+        from tpusparse.kernels.fused7 import _TZ_CACHE
+
+        if any(
+            _TZ_CACHE.get((m, tuple(shape))) == 0
+            for m in ("descent", "ascent")
+        ):
+            # preflight proved no slab depth compiles for this shape
+            return vcycle(hier, b_p, gamma=gamma)
 
     # scalar-slot assignment per mode (see fused7 kernel): descent uses
     # s0 (pre step 1), ad+g (pre step 2), gw; ascent uses gw, g-slot for

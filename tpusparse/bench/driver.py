@@ -133,11 +133,14 @@ def solve_poisson(
             # scalar ops per iteration (verified on-chip at 144^3-300^3)
             from functools import partial as _partial
 
+            # replace_every=5 measured on-chip at 144^3: converges to rel
+            # 2e-9 (20 stalls at ~1e-6 — the pipelined attainable-accuracy
+            # floor; 2 over-replaces and stalls as well)
             ksp_solve = _partial(
                 cg_pipelined,
                 scalar_dtype=jnp.float64
                 if jax.config.jax_enable_x64 else jnp.float32,
-                replace_every=20,
+                replace_every=5,
             )
         else:
             ksp_solve = cg_pipelined
@@ -220,12 +223,20 @@ def solve_poisson(
             )
         elif padded:
             # temporally-blocked fine level (amg/fused_cycle.py): the whole
-            # downstroke and upstroke in one kernel launch each
-            from tpusparse.amg.fused_cycle import vcycle_fused
+            # downstroke and upstroke in one kernel launch each.  preflight
+            # AOT-verifies the kernels' slab depths (Mosaic spill behavior
+            # is not statically predictable); on failure the padded fields
+            # run the standard XLA cycle instead
+            from tpusparse.amg.fused_cycle import preflight, vcycle_fused
 
-            m_of = lambda pc_state: (
-                lambda r: vcycle_fused(pc_state, r, gamma=gamma)
-            )
+            if preflight(pc_state):
+                m_of = lambda pc_state: (
+                    lambda r: vcycle_fused(pc_state, r, gamma=gamma)
+                )
+            else:
+                m_of = lambda pc_state: (
+                    lambda r: vcycle(pc_state, r, gamma=gamma)
+                )
         else:
             m_of = lambda pc_state: (
                 lambda r: vcycle(pc_state, r, gamma=gamma)

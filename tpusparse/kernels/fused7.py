@@ -90,6 +90,61 @@ _TWO_OUT = {"cheb0", "cheb", "pre2", "descent"}
 MODES = tuple(_WINDOWS)
 
 
+# (mode, shape) -> compile-verified tz, filled by ``preflight_tz``.  Mosaic's
+# register-spill behavior for the composite kernels has NO reliable static
+# predictor (measured on the v5e: a 1.99M-element window compiles at 144^3
+# while 1.87M spills 71MB at 192^3), so the model pick below is only the
+# first candidate of an AOT-verified ladder.
+_TZ_CACHE: dict = {}
+
+
+def _tz_candidates(nz: int, ny: int, nx: int, mode: str) -> list[int]:
+    """Retry ladder: divisors at or below the model pick, ordered so depths
+    inside the empirically-safe window-row region come first (v5e spill
+    observations: descent OK at 4864 rows / spills at 5472; ascent OK at
+    3648 / spills at 4864)."""
+    from tpusparse.kernels.stencil7 import _pad_to
+
+    first = _pick_tz_mode(nz, ny, nx, mode)
+    nyp = _pad_to(ny, 8)
+    soft_rows = 3700 if mode == "ascent" else 5000
+    divs = [
+        tz for tz in range(first, 1, -1)
+        if nz % tz == 0 and nz // tz >= 2
+    ]
+    safe = [t for t in divs if (t + 2 * FACE) * nyp <= soft_rows]
+    risky = [t for t in divs if t not in safe]
+    return safe + risky
+
+
+def preflight_tz(mode: str, shape, pinned: bool) -> int:
+    """AOT-compile the kernel down the tz ladder; cache and return the first
+    slab depth Mosaic accepts (0 if none — callers fall back to XLA).
+
+    Run this EAGERLY (e.g. at preconditioner setup) on the TPU backend; the
+    in-solve compile then uses the verified tz."""
+    key = (mode, tuple(shape))
+    if key in _TZ_CACHE:
+        return _TZ_CACHE[key]
+    nz, ny, nx = shape
+    nzp, nyp, nxp = padded_shape(shape)
+    field = jax.ShapeDtypeStruct((nzp, nyp, nxp), jnp.float32)
+    s = jax.ShapeDtypeStruct((), jnp.float32)
+    for tz in _tz_candidates(nz, ny, nx, mode):
+        try:
+            fused7_call.lower(
+                mode, field, s, s, s, field, field, field, s, s, s,
+                shape=tuple(shape), pinned=pinned, gw=s, g2=s,
+                tz_override=tz,
+            ).compile()
+            _TZ_CACHE[key] = tz
+            return tz
+        except Exception:
+            continue
+    _TZ_CACHE[key] = 0
+    return 0
+
+
 def _pick_tz_mode(nz: int, ny: int, nx: int, mode: str) -> int:
     """Slab depth for the composite (3-chained-stencil) modes.
 
@@ -97,7 +152,11 @@ def _pick_tz_mode(nz: int, ny: int, nx: int, mode: str) -> int:
     chained intermediate windows), not just the declared scratch — measured
     on the v5e: tz=20 at 300^3 wants 204MB of the 128MB VMEM.  The budget
     below models scratch + ~8 live window temporaries and is calibrated so
-    300^3 lands on tz=10 (compiles with room to spare)."""
+    300^3 lands on tz=10 (compiles with room to spare).  A verified entry
+    in ``_TZ_CACHE`` (see ``preflight_tz``) always wins."""
+    cached = _TZ_CACHE.get((mode, (nz, ny, nx)))
+    if cached:
+        return cached
     if mode not in ("descent", "ascent", "pre2"):
         return _pick_tz(nz)
     from tpusparse.kernels.stencil7 import _pad_to
