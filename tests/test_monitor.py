@@ -103,6 +103,29 @@ def test_driver_richardson_and_preonly_ksp():
     assert rp.linf_error < 5e-2
 
 
+def test_ksp_view():
+    """-ksp_view: KSPView/PCView-parity configuration description."""
+    rep = solve_poisson(12, rtol=1e-8, precision="mixed", view=True,
+                        warmup=False)
+    v = rep.solver_view
+    assert v is not None
+    assert "KSP Object: type cg" in v
+    assert "PC Object: type gamg" in v
+    assert "level 0:" in v and "1728 unknowns" in v
+
+
+def test_cli_ksp_view(capsys):
+    from tpusparse.__main__ import main
+
+    rc = main(
+        ["-da_grid_x", "12", "-da_grid_y", "12", "-da_grid_z", "12",
+         "-ksp_view", "-ksp_rtol", "1e-6", "-precision", "f64"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "KSP Object" in out and "PC Object" in out
+
+
 def test_cli_richardson_monitor(capsys):
     """The VERDICT done-criterion: python -m tpusparse -ksp_type richardson
     -ksp_monitor runs."""

@@ -47,7 +47,11 @@ def main(argv: list[str] | None = None) -> int:
             mg_cycle=opts.pc_mg_cycle_type,
             monitor=opts.ksp_monitor,
             ksp_richardson_scale=opts.ksp_richardson_scale,
+            view=opts.ksp_view,
+            ksp_gmres_restart=opts.ksp_gmres_restart,
         )
+    if opts.ksp_view and rep.solver_view:
+        print(rep.solver_view)
     if opts.ksp_monitor:
         # PETSc streams these during KSPSolve; our solve is one compiled
         # program, so the recorded history prints before the summary block

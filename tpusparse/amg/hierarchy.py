@@ -190,6 +190,35 @@ def gamg_setup(fine_op, params: AMGParams = AMGParams()) -> Hierarchy:
     )
 
 
+def hierarchy_summary(hier: Hierarchy) -> str:
+    """PETSc ``-ksp_view``-style description of the PC hierarchy (PCView
+    parity: PETSc prints the MG level structure, smoother and coarse-solve
+    configuration when ``-ksp_view`` is set)."""
+    import numpy as np_
+
+    lines = [
+        f"PC Object: type gamg (smoothed aggregation), {hier.n_levels} levels",
+        f"  cycle: V (W selectable), smoother: {hier.smoother}"
+        f" (degree {hier.degree}, damping {float(hier.damping):g})",
+    ]
+    for i, lev in enumerate(hier.levels):
+        shape = getattr(lev.op, "grid_shape", None)
+        n = (
+            int(np_.prod(shape)) if shape is not None
+            else lev.op.shape[0]
+        )
+        kind = type(lev.op).__name__
+        extra = "" if lev.transfer is not None else \
+            ", coarse solve: preonly + " + (
+                "bjacobi" if lev.bjac is not None else "jacobi"
+            )
+        lines.append(
+            f"  level {i}: {n} unknowns, operator {kind},"
+            f" rho(M^-1 A) ~= {float(lev.rho):.4f}{extra}"
+        )
+    return "\n".join(lines)
+
+
 def cast_hierarchy(hier: Hierarchy, dtype) -> Hierarchy:
     """Cast every float field of the hierarchy to ``dtype``.
 

@@ -45,6 +45,8 @@ class SolveReport:
     # -ksp_monitor data: per-iteration ||r||_2 for uniform-precision solves,
     # per-OUTER-sweep true ||r||_2 for mixed precision (index 0 = initial)
     residual_history: list | None = None
+    # -ksp_view text (KSPView/PCView parity), filled when view=True
+    solver_view: str | None = None
 
     def monitor_block(self) -> str:
         """PETSc ``-ksp_monitor`` output: '  %d KSP Residual norm %e' per
@@ -96,6 +98,8 @@ def solve_poisson(
     mg_cycle: str = "v",
     monitor: bool = False,
     ksp_richardson_scale: float = 1.0,
+    view: bool = False,
+    ksp_gmres_restart: int = 30,
 ) -> SolveReport:
     """End-to-end solve with the reference's defaults
     (tolerances: configs/PETSc_SolverOptions_GAMG.info:1-4).
@@ -127,15 +131,17 @@ def solve_poisson(
 
         if precision in ("mixed", "tf"):
             # round 1 measured the f32 inner recurrences NaN'ing at >=144^3
-            # (the delta - beta*gamma/alpha denominator cancels in f32);
-            # the cure is f64 RECURRENCE SCALARS + tighter residual
-            # replacement — vectors and dots stay f32, so the cost is a few
-            # scalar ops per iteration (verified on-chip at 144^3-300^3)
+            # (the delta - beta*gamma/alpha denominator cancels in f32).
+            # Cure: f64 RECURRENCE SCALARS + residual replacement every 5
+            # (vectors and dots stay f32).  Measured on-chip: 144^3
+            # converges to rel 2e-9; at 216^3+ the solution still reaches
+            # discretization accuracy (Linf = O(h^2)) but the pipelined
+            # attainable-accuracy floor sits above rtol 1e-8, reported
+            # honestly as CONVERGED_STALLED.  Classic cg remains the
+            # default inner solver; pipecg's fused-reduction advantage is
+            # a multi-chip latency play.
             from functools import partial as _partial
 
-            # replace_every=5 measured on-chip at 144^3: converges to rel
-            # 2e-9 (20 stalls at ~1e-6 — the pipelined attainable-accuracy
-            # floor; 2 over-replaces and stalls as well)
             ksp_solve = _partial(
                 cg_pipelined,
                 scalar_dtype=jnp.float64
@@ -144,6 +150,14 @@ def solve_poisson(
             )
         else:
             ksp_solve = cg_pipelined
+    elif ksp == "gmres":
+        # KSPGMRES (PETSc's default type): restarted, left-preconditioned,
+        # CGS2 orthogonalization as MXU matmuls (solve/gmres.py)
+        from functools import partial as _partial
+
+        from tpusparse.solve.gmres import gmres
+
+        ksp_solve = _partial(gmres, restart=ksp_gmres_restart)
     elif ksp == "richardson":
         # KSPRICHARDSON as the top-level (or inner, under mixed precision)
         # solver: multigrid-as-a-solver when pc=gamg
@@ -158,7 +172,8 @@ def solve_poisson(
         from tpusparse.solve.simple import preonly as ksp_solve
     else:
         raise ValueError(
-            f"unknown ksp {ksp!r} (cg | pipecg | richardson | preonly)"
+            f"unknown ksp {ksp!r} (cg | pipecg | gmres | richardson |"
+            f" preonly)"
         )
 
     t0 = time.perf_counter()
@@ -326,6 +341,23 @@ def solve_poisson(
     if reason < 0:
         raise DivergedError(f"Diverged reason: {reason}")
 
+    view_text = None
+    if view:
+        lines = [
+            f"KSP Object: type {ksp}, rtol {rtol:g}, atol {atol:g},"
+            f" maxit {maxiter}",
+            f"  precision: {precision}"
+            + (", layout: padded-resident (fused fine level)" if padded
+               else ", layout: plain"),
+        ]
+        if pc == "gamg":
+            from tpusparse.amg.hierarchy import hierarchy_summary
+
+            lines.append(hierarchy_summary(pc_state))
+        else:
+            lines.append(f"PC Object: type {pc}")
+        view_text = "\n".join(lines)
+
     history = None
     if hist is not None:
         # trim to the recorded prefix: outer sweeps for mixed precision
@@ -349,4 +381,5 @@ def solve_poisson(
         precision=precision,
         outer_iters=int(getattr(res, "outer_iters", 0)),
         residual_history=history,
+        solver_view=view_text,
     )

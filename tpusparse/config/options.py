@@ -40,7 +40,10 @@ class Options:
     ksp_max_it: int = 10000
     ksp_monitor: bool = False       # per-iteration residual history (PETSc
     # -ksp_monitor: '  %d KSP Residual norm %e' lines + JSON sidecar field)
+    ksp_view: bool = False          # print the solver/PC configuration
+    # (PETSc -ksp_view / KSPView+PCView parity)
     ksp_richardson_scale: float = 1.0  # top-level KSPRICHARDSON damping
+    ksp_gmres_restart: int = 30     # -ksp_gmres_restart (KSPGMRES)
 
     # PC
     pc_type: str = "gamg"           # gamg | jacobi | none
@@ -84,11 +87,13 @@ class Options:
         )
 
     def validate(self) -> "Options":
-        if self.ksp_type not in ("cg", "pipecg", "richardson", "preonly"):
+        if self.ksp_type not in (
+            "cg", "pipecg", "gmres", "richardson", "preonly"
+        ):
             raise ValueError(
                 f"-ksp_type {self.ksp_type}: 'cg' (KSPCG parity),"
-                f" 'pipecg' (KSPPIPECG, solve/pipelined.py),"
-                f" 'richardson' or 'preonly' (solve/simple.py)"
+                f" 'pipecg' (KSPPIPECG), 'gmres' (KSPGMRES),"
+                f" 'richardson' or 'preonly'"
             )
         if self.precision not in ("mixed", "tf", "f64", "f32"):
             raise ValueError(f"-precision {self.precision} not supported")
