@@ -57,6 +57,23 @@ def test_fused_cycle_cg_iteration_parity(gamma):
     assert abs(int(r_ref.iters) - int(r_fused.iters)) <= 1
 
 
+def test_bf16_coarse_coefs_iteration_parity():
+    """cast_coarse_coefs halves coarse operator traffic without changing
+    convergence (vectors stay f32 — unlike the full-hierarchy bf16 cast)."""
+    from tpusparse.amg.hierarchy import cast_coarse_coefs
+
+    pop, hier, b_p = _setup(backend="xla")
+    hier_b = cast_coarse_coefs(hier)
+    assert hier_b.levels[1].op.coef.dtype == jnp.bfloat16
+    assert hier_b.levels[0].op.diag.dtype == jnp.float32
+    r1 = cg(pop.mv, b_p, rtol=1e-6, maxiter=100,
+            m_mv=lambda r: vcycle(hier, r))
+    r2 = cg(pop.mv, b_p, rtol=1e-6, maxiter=100,
+            m_mv=lambda r: vcycle(hier_b, r))
+    assert r1.converged() and r2.converged()
+    assert abs(int(r1.iters) - int(r2.iters)) <= 1
+
+
 def test_unsupported_falls_back():
     """degree != 2 isn't fused — must silently use the standard cycle."""
     grid = Grid3D(18, 18, 18)

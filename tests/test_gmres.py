@@ -109,3 +109,41 @@ def test_driver_gmres():
                         pc="gamg", warmup=False)
     assert rep.reason > 0
     assert rep.linf_error < 5e-2
+
+
+# --- BiCGStab (KSPBCGS) ------------------------------------------------------
+
+def test_bicgstab_nonsymmetric_matches_direct():
+    from tpusparse.solve.bcgs import bicgstab
+
+    a = _convdiff()
+    d = DIA.from_csr(a)
+    rng = np.random.default_rng(0)
+    x_true = rng.standard_normal(a.n_rows)
+    b = jnp.asarray(a.to_scipy() @ x_true)
+    dinv = jnp.asarray(1.0 / a.to_scipy().diagonal())
+    res = jax.jit(
+        lambda op, b: bicgstab(op.mv, b, rtol=1e-10, maxiter=3000,
+                               m_mv=lambda r: dinv * r)
+    )(d, b)
+    assert res.converged()
+    np.testing.assert_allclose(np.asarray(res.x), x_true, rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_bicgstab_history_and_driver():
+    from tpusparse.bench.driver import solve_poisson
+    from tpusparse.solve.bcgs import bicgstab
+
+    a = _convdiff(10)
+    d = DIA.from_csr(a)
+    b = jnp.asarray(np.ones(a.n_rows))
+    res, hist = bicgstab(d.mv, b, rtol=1e-8, maxiter=300, history=True)
+    assert res.converged()
+    h = np.asarray(hist)
+    np.testing.assert_allclose(h[int(res.iters)], float(res.resnorm),
+                               rtol=1e-5)
+    rep = solve_poisson(12, rtol=1e-6, precision="f64", ksp="bcgs",
+                        pc="gamg", warmup=False)
+    assert rep.reason > 0
+    assert rep.linf_error < 5e-2

@@ -125,7 +125,7 @@ def vcycle_fused(hier: Hierarchy, b_p, gamma: int = 1):
 
     # downstroke: pre-smooth + residual + P^T-smoothing pass, fused
     x1, s = call("descent", b_p, b_p, g, g)
-    r_c = inner.tT_apply(crop_field(s, inner.fine_shape))
+    r_c = tr.tT_apply_padded(s)
 
     e = vcycle(hier, r_c, level=1, gamma=gamma)
     for _ in range(gamma - 1):
@@ -133,6 +133,7 @@ def vcycle_fused(hier: Hierarchy, b_p, gamma: int = 1):
         r_c2 = r_c - hier.levels[1].op.mv(e)
         e = e + vcycle(hier, r_c2, level=1, gamma=gamma)
 
-    # upstroke: P smoothing + correction + post-smooth, fused
-    t = pad_field(inner.t_apply(e))
+    # upstroke: P smoothing + correction + post-smooth, fused (the transfer
+    # einsums write the padded layout directly — no separate pad pass)
+    t = tr.t_apply_padded(e)
     return call("ascent", t, x1, s0, g)

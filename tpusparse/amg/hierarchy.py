@@ -219,6 +219,25 @@ def hierarchy_summary(hier: Hierarchy) -> str:
     return "\n".join(lines)
 
 
+def cast_coarse_coefs(hier: Hierarchy, dtype=jnp.bfloat16) -> Hierarchy:
+    """Cast ONLY the coarse-level operator coefficient stacks (levels >= 1).
+
+    Unlike ``cast_hierarchy`` (which round 1 measured costing ~2.5x the
+    iterations at 300^3 because the coarse-grid CORRECTION vectors lost
+    mantissa), this keeps every vector, diagonal and transfer in the build
+    dtype and halves only the operator-DATA traffic — which dominates
+    coarse-level cost (a 27-point level reads 27 coefficient fields per
+    apply).  Measured on-chip at 300^3: solve 0.378 -> 0.350 s with
+    identical iteration count and Linf."""
+    new = [hier.levels[0]]
+    for lev in hier.levels[1:]:
+        op = lev.op
+        if hasattr(op, "coef"):
+            op = dataclasses.replace(op, coef=op.coef.astype(dtype))
+        new.append(dataclasses.replace(lev, op=op))
+    return dataclasses.replace(hier, levels=new)
+
+
 def cast_hierarchy(hier: Hierarchy, dtype) -> Hierarchy:
     """Cast every float field of the hierarchy to ``dtype``.
 

