@@ -80,6 +80,32 @@ def test_fused_grid_paths(mode, shape):
         )
 
 
+def test_mvdot_mode():
+    """mvdot: y = A x plus the fused <x, A x> partial-sum output."""
+    shape = (24, 11, 13)
+    pop, x, b_p, d = _padded_system(shape)
+    y, pap = fused7_call(
+        "mvdot", pop.diag, pop.cx, pop.cy, pop.cz, x, b_p, d, G, AD, S0,
+        shape=shape, pinned=True, interpret=True,
+    )
+    want_y = pop.mv(x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(want_y),
+                               rtol=1e-6, atol=1e-4)
+    want = float(jnp.vdot(x.reshape(-1), want_y.reshape(-1)))
+    assert abs(float(pap) - want) <= 1e-5 * abs(want)
+
+
+def test_cg_with_mv_dot_matches_plain():
+    shape = (24, 12, 12)
+    pop, x, b_p, d = _padded_system(shape)
+    from tpusparse.solve import cg
+
+    r1 = cg(pop.mv, b_p, rtol=1e-6, maxiter=500)
+    r2 = cg(pop.mv, b_p, rtol=1e-6, maxiter=500, a_mv_dot=pop.mv_dot)
+    assert r1.converged() and r2.converged()
+    assert abs(int(r1.iters) - int(r2.iters)) <= 1
+
+
 @pytest.mark.parametrize("mode", ["pre2", "descent"])
 def test_pad_invariant_preserved(mode):
     """Outputs must carry zero pads (the padded-layout invariant)."""

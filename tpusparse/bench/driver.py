@@ -287,6 +287,12 @@ def solve_poisson(
     elif mixed:
         from tpusparse.solve.refine import cg_refined
 
+        # NOTE: the fused mv+dot kernel (PaddedStar.mv_dot / cg's a_mv_dot)
+        # was measured net-neutral-to-slightly-negative here (0.335 vs
+        # 0.331 s at 300^3): the in-kernel cross-sublane reduction costs
+        # about what the saved <p, Ap> HBM pass buys back on one chip.  It
+        # stays available for multi-chip use, where the fused dot also
+        # saves a collective round on the critical path.
         def solve_fn(op, op_lo, pc_state, b):
             return cg_refined(
                 op.mv, op_lo.mv, b, rtol=rtol, atol=atol,

@@ -76,6 +76,7 @@ from tpusparse.kernels.stencil7 import FACE, _pick_tz, padded_shape
 # each side).  Slots: p (primary stencil input), diag, b, d (fourth operand).
 _WINDOWS = {
     "mv": {"p": 1, "diag": 0},
+    "mvdot": {"p": 1, "diag": 0},   # y = A x  AND  partial <x, A x> sums
     "residual": {"p": 1, "diag": 0, "b": 0},
     "rich": {"p": 1, "diag": 0, "b": 0},
     "cheb0": {"p": 1, "diag": 0, "b": 0},
@@ -228,7 +229,7 @@ def _pick_tz_mode(nz: int, ny: int, nx: int, mode: str) -> int:
 
 def _kernel(
     coef_ref, p_hbm, d_hbm, b_hbm, dd_hbm, y_hbm, y2_hbm,
-    ps, ds, bs, dds, ys, zp_buf, sp, sd, sb, sdd, swb, sz,
+    ps, ds, bs, dds, ys, zp_buf, acc, sp, sd, sb, sdd, swb, sz,
     *, mode, tz, nz, ny, nx, nyp, pinned,
 ):
     """Gridless pair-pipelined slab loop over 2-D row views.
@@ -370,6 +371,13 @@ def _kernel(
         if mode == "mv":
             w = apply_a(p, diag * win(p, 1, 0), 0, i)
             return (mask_dom(w, 0, i),)
+        if mode == "mvdot":
+            w = mask_dom(apply_a(p, diag * win(p, 1, 0), 0, i), 0, i)
+            # partial <x, A x> accumulated across slabs (fused CG dot: the
+            # caller's alpha denominator without re-reading x and y)
+            part = jnp.sum(win(p, 1, 0) * w, axis=0, keepdims=True)
+            acc[0:1, :] = acc[0:1, :] + part
+            return (w,)
         if mode == "residual":
             w = apply_a(p, diag * win(p, 1, 0), 0, i)
             return (mask_dom(bs[jnp.int32(buf)] - w, 0, i),)
@@ -441,8 +449,10 @@ def _kernel(
             return (mask_dom(win(x3_1, 1, 0) + dnew, 0, i),)
         raise AssertionError(mode)
 
-    # zero the output face planes (padded-layout invariant)
+    # zero the output face planes (padded-layout invariant) + dot accumulator
     zp_buf[:] = jnp.zeros_like(zp_buf)
+    if mode == "mvdot":
+        acc[:] = jnp.zeros_like(acc)
     for out, hbm in ((0, y_hbm), (1, y2_hbm))[:n_out]:
         lo = pltpu.make_async_copy(
             zp_buf, hbm.at[pl.ds(0, FACE * nyp)], sz
@@ -504,6 +514,12 @@ def _kernel(
         wb_copy(i32(grid - 1), (grid - 1) % 2, out).wait()
         if grid > 1:
             wb_copy(i32(grid - 2), (grid - 2) % 2, out).wait()
+
+    if mode == "mvdot":
+        # ship the accumulated partial sums in the first 8 rows of output 2
+        dot_wb = pltpu.make_async_copy(acc, y2_hbm.at[pl.ds(0, 8)], sz)
+        dot_wb.start()
+        dot_wb.wait()
 
 
 def _coef_smem(vals, dtype):
@@ -593,6 +609,7 @@ def fused7_call(
             buf("p"), buf("diag"), buf("b"), buf("d"),
             pltpu.VMEM((2 * n_out, rows, nxp), f32),     # out staging
             pltpu.VMEM((FACE * nyp, nxp), f32),          # zero faces
+            pltpu.VMEM((8, nxp), f32),                   # dot accumulator
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -612,6 +629,8 @@ def fused7_call(
         interpret=interpret,
     )(coef, p2, d2, b2, dd2)
     y = outs[0].reshape(nzp2, nyp, nxp)
+    if mode == "mvdot":
+        return y, jnp.sum(outs[1][0:8, :])
     if n_out == 2:
         return y, outs[1].reshape(nzp2, nyp, nxp)
     return y
@@ -628,6 +647,9 @@ def fused7_xla(mode, op, x_p, b_p, d_p, g, ad, s0, gw=0.0, g2=0.0):
     dinv = one / op.diag
     if mode == "mv":
         return op.mv(x_p)
+    if mode == "mvdot":
+        y = op.mv(x_p)
+        return y, jnp.vdot(x_p.reshape(-1), y.reshape(-1))
     if mode == "residual":
         return b_p - op.mv(x_p)
     if mode == "rich":

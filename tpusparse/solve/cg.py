@@ -86,6 +86,7 @@ def cg(
     state0: tuple | None = None,
     return_state: bool = False,
     history: bool = False,
+    a_mv_dot: Callable | None = None,
 ) -> CGResult:
     """Solve A x = b with (preconditioned) CG.
 
@@ -104,6 +105,10 @@ def cg(
     per-iteration residual 2-norms (index 0 = initial residual; entries past
     ``result.iters`` are zero) — the KSPMonitor data
     (PETSc ``-ksp_monitor``); incompatible with ``state0``.
+
+    ``a_mv_dot(p) -> (A p, <p, A p>)``, when given, replaces the separate
+    operator apply + alpha-denominator dot (a fused kernel can produce both
+    in one pass — ``PaddedStar.mv_dot``).
 
     Jit-compatible: call under ``jax.jit``; ``maxiter`` must be static,
     ``rtol``/``atol`` may be python floats or traced scalars (the adaptive
@@ -152,8 +157,12 @@ def cg(
 
     def body(state):
         x, r, z, p, rz, _rnorm, it = state[:7]
-        ap = a_mv(p)
-        alpha = rz / _dot(p, ap)
+        if a_mv_dot is not None:
+            ap, pap = a_mv_dot(p)
+            alpha = rz / pap.astype(rz.dtype)
+        else:
+            ap = a_mv(p)
+            alpha = rz / _dot(p, ap)
         x = x + alpha * p
         r = r - alpha * ap
         z = m_mv(r)

@@ -174,6 +174,22 @@ class PaddedStar:
             y = jnp.where(origin, self.diag * x_p, y)
         return jnp.where(in_dom, y, zero)
 
+    def mv_dot(self, x_p: jax.Array):
+        """(A @ x, <x, A x>) in one HBM pass over x/diag/y — the fused CG
+        alpha denominator (kernels/fused7.py 'mvdot'); XLA fallback
+        elsewhere."""
+        if self._use_pallas():
+            from tpusparse.kernels.fused7 import fused7_call
+
+            zero = jnp.zeros((), jnp.float32)
+            return fused7_call(
+                "mvdot", self.diag, self.cx, self.cy, self.cz, x_p, x_p,
+                x_p, zero, zero, zero, shape=self.true_shape,
+                pinned=self.pinned, interpret=(self.backend == "interpret"),
+            )
+        y = self._mv_xla(x_p)
+        return y, jnp.vdot(x_p.reshape(-1), y.reshape(-1))
+
     def __matmul__(self, x):
         return self.mv(x)
 
