@@ -126,6 +126,19 @@ def test_cli_ksp_view(capsys):
     assert "KSP Object" in out and "PC Object" in out
 
 
+def test_cli_log_view(capsys):
+    from tpusparse.__main__ import main
+
+    rc = main(
+        ["-da_grid_x", "12", "-da_grid_y", "12", "-da_grid_z", "12",
+         "-log_view", "-ksp_rtol", "1e-6", "-precision", "f64"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Performance Summary" in out
+    assert "GFLOP/s" in out and "solve" in out
+
+
 def test_cli_richardson_monitor(capsys):
     """The VERDICT done-criterion: python -m tpusparse -ksp_type richardson
     -ksp_monitor runs."""

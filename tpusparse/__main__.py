@@ -57,6 +57,8 @@ def main(argv: list[str] | None = None) -> int:
         # program, so the recorded history prints before the summary block
         print(rep.monitor_block())
     print(rep.reference_block())
+    if opts.log_view:
+        print(rep.log_view())
     print("JSON:", rep.json_sidecar())
     return 0
 

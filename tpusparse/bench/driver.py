@@ -48,6 +48,34 @@ class SolveReport:
     # -ksp_view text (KSPView/PCView parity), filled when view=True
     solver_view: str | None = None
 
+    def log_view(self) -> str:
+        """PETSc ``-log_view``-style performance summary: phase wall times
+        plus the solve phase's flop accounting (PetscLogFlops model:
+        2*nnz per fine operator apply, ~7 applies per CG+AMG iteration
+        with a 27/7-nnz-ratio coarse hierarchy ~= 1.6x fine-level work)."""
+        n = self.nx * self.ny * self.nz
+        nnz = 7 * n - 2 * (
+            self.ny * self.nz + self.nx * self.nz + self.nx * self.ny
+        )
+        flops = 2 * nnz * 7 * 1.6 * max(self.iters, 1)
+        total = self.t_init + self.t_setup + self.t_solve
+        lines = [
+            "--- Performance Summary (-log_view) "
+            "----------------------------------",
+            f"{'Phase':<16}{'Time (s)':>12}{'% total':>10}",
+            f"{'init (system)':<16}{self.t_init:>12.4f}"
+            f"{100 * self.t_init / total:>9.1f}%",
+            f"{'setup (KSP+PC)':<16}{self.t_setup:>12.4f}"
+            f"{100 * self.t_setup / total:>9.1f}%",
+            f"{'solve':<16}{self.t_solve:>12.4f}"
+            f"{100 * self.t_solve / total:>9.1f}%",
+            f"solve: {self.iters} iterations, ~{flops / 1e9:.2f} GFLOP "
+            f"(PetscLogFlops model), "
+            f"{flops / self.t_solve / 1e9:.1f} GFLOP/s, "
+            f"{nnz * max(self.iters, 1) / self.t_solve / 1e9:.2f} Gnnz/s",
+        ]
+        return "\n".join(lines)
+
     def monitor_block(self) -> str:
         """PETSc ``-ksp_monitor`` output: '  %d KSP Residual norm %e' per
         recorded residual (KSPMonitorResidual format)."""
