@@ -88,6 +88,53 @@ def test_dia_cg_inside_while_loop():
                                atol=1e-7)
 
 
+def test_hybrid_dia_matches_scipy():
+    from tpusparse.sparse.dia import HybridDIA
+
+    s = sp.random(400, 400, density=0.05, random_state=5, format="csr")
+    s = (s + s.T + 10 * sp.identity(400)).tocsr()
+    h = HybridDIA.from_csr(HostCSR.from_scipy(s), max_bands=16)
+    assert h.rem is not None  # genuinely split
+    assert len(h.dia.offsets) <= 17
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(400)
+    np.testing.assert_allclose(np.asarray(h.mv(jnp.asarray(x))), s @ x,
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(h.diagonal()), s.diagonal(),
+                               rtol=1e-12)
+    assert (h.to_scipy() != s).nnz == 0
+
+
+def test_hybrid_dia_no_remainder_when_banded():
+    from tpusparse.sparse.dia import HybridDIA
+
+    a = _poisson_csr(6)
+    h = HybridDIA.from_csr(a, max_bands=16)
+    assert h.rem is None
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(a.n_rows))
+    np.testing.assert_allclose(np.asarray(h.mv(x)),
+                               a.to_scipy() @ np.asarray(x), rtol=1e-12)
+
+
+def test_unstructured_auto_uses_hybrid_on_wide_levels():
+    """The Galerkin coarse level at 16^3 occupies 273 diagonals — auto must
+    pick HybridDIA there (was: full-ELL gather fallback)."""
+    from tpusparse.sparse.dia import HybridDIA
+
+    a = _poisson_csr(16)
+    hier = gamg_setup_unstructured(
+        a, AMGParams(coarse_eq_limit=40), device_format="auto",
+        transfer_format="factored",
+    )
+    kinds = [type(l.op).__name__ for l in hier.levels]
+    assert kinds[0] == "DIA"
+    assert "HybridDIA" in kinds
+    b = jnp.asarray(np.sin(np.arange(a.n_rows) * 0.13))
+    res = cg(hier.levels[0].op.mv, b, rtol=1e-8, maxiter=200,
+             m_mv=lambda r: vcycle(hier, r))
+    assert res.converged()
+
+
 @pytest.mark.parametrize("fmt,tfmt", [("ell", "ell"), ("dia", "factored")])
 def test_unstructured_amg_dia_matches_ell(fmt, tfmt):
     """DIA + factored transfers = same preconditioner as ELL + explicit P."""

@@ -219,6 +219,14 @@ def gamg_setup_unstructured(
             except ValueError:
                 if device_format == "dia":
                     raise
+        if device_format == "auto":
+            # wide-stencil level (e.g. Galerkin coarse op under greedy
+            # aggregation): heavy diagonals as bands + thin gather
+            # remainder — ~10x less gather volume than full ELL, which is
+            # what keeps coarse V-cycle applies fast (TPU gathers are slow)
+            from tpusparse.sparse.dia import HybridDIA
+
+            return HybridDIA.from_csr(h, dtype=dtype)
         return ELL.from_csr(h, dtype=dtype)
     a_sp = a.to_scipy()
     levels: list[Level] = []

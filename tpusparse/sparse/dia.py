@@ -163,3 +163,105 @@ class DIA:
 
     def __matmul__(self, x):
         return self.mv(x)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["dia", "rem"],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class HybridDIA:
+    """DIA for the heavy diagonals + a thin ELL gather remainder.
+
+    Mesh-graph matrices that occupy too many DISTINCT diagonals for pure
+    DIA (e.g. Galerkin coarse operators under greedy aggregation: a few
+    dominant near-grid offsets plus a scatter of ragged-boundary entries)
+    split naturally: the top-K diagonals carry the bulk of the nonzeros at
+    shift speed, and the remainder's gather volume drops by ~10x — which is
+    what makes coarse AMG levels fast on a TPU whose gathers are slow (and
+    keeps them far below the libtpu gather-crash threshold).
+    """
+
+    dia: DIA
+    rem: object | None  # ELL, or None when the bands cover everything
+
+    @classmethod
+    def from_csr(
+        cls, csr, max_bands: int = 64, dtype=None, device=None
+    ) -> "HybridDIA":
+        """Keep the ``max_bands`` most-populated diagonals (always including
+        the main diagonal) as DIA; the rest becomes a thin ELL."""
+        import scipy.sparse as sp
+
+        from tpusparse.sparse.csr import HostCSR
+        from tpusparse.sparse.ell import ELL
+
+        if not isinstance(csr, HostCSR):
+            csr = HostCSR.from_scipy(csr)
+        n, m = csr.shape
+        rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(csr.indptr))
+        off = csr.indices.astype(np.int64) - rows
+        offsets, counts = np.unique(off, return_counts=True)
+        if offsets.size > max_bands:
+            order = np.argsort(counts)[::-1]
+            keep = set(offsets[order[:max_bands]].tolist())
+            keep.add(0)
+        else:
+            keep = set(offsets.tolist()) | {0}
+        in_dia = np.isin(off, np.fromiter(keep, np.int64))
+
+        def sub(mask):
+            return sp.csr_matrix(
+                (csr.data[mask], (rows[mask], csr.indices[mask])),
+                shape=(n, m),
+            )
+
+        dia = DIA.from_csr(
+            HostCSR.from_scipy(sub(in_dia)),
+            max_offsets=max_bands + 1, dtype=dtype, device=device,
+        )
+        rem = None
+        if (~in_dia).any():
+            rem = ELL.from_csr(
+                HostCSR.from_scipy(sub(~in_dia)), dtype=dtype, device=device
+            )
+        return cls(dia=dia, rem=rem)
+
+    @property
+    def shape(self):
+        return self.dia.shape
+
+    @property
+    def n_rows(self) -> int:
+        return self.dia.n_rows
+
+    @property
+    def n_cols(self) -> int:
+        return self.dia.n_cols
+
+    @property
+    def dtype(self):
+        return self.dia.dtype
+
+    @property
+    def nnz(self):
+        return self.dia.nnz + (self.rem.nnz if self.rem is not None else 0)
+
+    def mv(self, x: jax.Array) -> jax.Array:
+        y = self.dia.mv(x)
+        if self.rem is not None:
+            y = y + self.rem.mv(x)
+        return y
+
+    def diagonal(self) -> jax.Array:
+        return self.dia.diagonal()  # main diagonal always lives in the bands
+
+    def to_scipy(self):
+        a = self.dia.to_scipy()
+        if self.rem is not None:
+            a = (a + self.rem.to_csr().to_scipy()).tocsr()
+        return a
+
+    def __matmul__(self, x):
+        return self.mv(x)
