@@ -122,9 +122,11 @@ def test_unstructured_auto_uses_hybrid_on_wide_levels():
     from tpusparse.sparse.dia import HybridDIA
 
     a = _poisson_csr(16)
+    # aggressive coarsening off: keep the wide single-greedy level-1 shape
+    # this test exists to exercise
     hier = gamg_setup_unstructured(
-        a, AMGParams(coarse_eq_limit=40), device_format="auto",
-        transfer_format="factored",
+        a, AMGParams(coarse_eq_limit=40, aggressive_coarsening=0),
+        device_format="auto", transfer_format="factored",
     )
     kinds = [type(l.op).__name__ for l in hier.levels]
     assert kinds[0] == "DIA"

@@ -53,6 +53,14 @@ class AMGParams:
     # bs x bs blocks, PCBJACOBI beyond the 1-block point degeneracy).
     # 0 = point Jacobi.  Unstructured path only (needs assembled CSR).
     bjacobi_bs: int = 0
+    # PETSc -pc_gamg_aggressive_coarsening parity (unstructured path):
+    # compose TWO greedy aggregation rounds on the first N levels.  Greedy
+    # Vanek aggregation over a 7-point graph only coarsens ~8x, leaving a
+    # large, wide level 1 whose gather-heavy applies dominate V-cycle cost
+    # on TPU; squaring the aggregation there mirrors PETSc's default and
+    # coarsens ~50-60x.  (The structured path's geometric 3^3 aggregation
+    # is unaffected.)
+    aggressive_coarsening: int = 1
 
 
 @partial(

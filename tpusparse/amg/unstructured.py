@@ -270,6 +270,16 @@ def gamg_setup_unstructured(
             agg = greedy_aggregate(
                 HostCSR.from_scipy(a_sp), params.threshold
             )
+            if len(levels) < params.aggressive_coarsening:
+                # PETSc -pc_gamg_aggressive_coarsening: square the
+                # aggregation by greedily aggregating the tentative coarse
+                # graph and composing the two maps
+                t0 = tentative_prolongator(agg)
+                coarse_graph = (t0.T @ (a_sp @ t0)).tocsr()
+                agg2 = greedy_aggregate(
+                    HostCSR.from_scipy(coarse_graph), params.threshold
+                )
+                agg = agg2[agg]
             if agg.max() + 1 >= n:  # aggregation stalled
                 last = True
         op_dev = make_op(HostCSR.from_scipy(a_sp))

@@ -52,6 +52,10 @@ class Options:
     pc_gamg_type: str = "agg"
     pc_gamg_agg_nsmooths: int = 1
     pc_gamg_threshold: float = 0.0
+    # -pc_gamg_aggressive_coarsening (PETSc default: aggressive on the
+    # finest level; unstructured path — the structured geometric
+    # aggregation is unaffected)
+    pc_gamg_aggressive_coarsening: int = 1
     pc_gamg_coarse_eq_limit: int = 200
     mg_levels_ksp_type: str = "chebyshev"  # framework default; reference
     # config selects richardson (parity mode, both supported)
@@ -86,6 +90,7 @@ class Options:
             degree=self.mg_levels_ksp_max_it,
             smooth_damping=self.mg_levels_ksp_richardson_scale,
             bjacobi_bs=self.pc_bjacobi_bs,
+            aggressive_coarsening=self.pc_gamg_aggressive_coarsening,
         )
 
     def validate(self) -> "Options":
