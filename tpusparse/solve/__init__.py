@@ -1,5 +1,8 @@
+from tpusparse.solve.bcgs import bicgstab
+from tpusparse.solve.bjacobi import BlockJacobi
 from tpusparse.solve.cg import CGResult, ConvergedReason, cg, cg_hostloop
 from tpusparse.solve.checkpoint import CheckpointConfig, cg_checkpointed
+from tpusparse.solve.gmres import gmres
 from tpusparse.solve.pipelined import cg_pipelined
 from tpusparse.solve.refine import RefinedResult, cg_refined, cg_refined_tf
 from tpusparse.solve.simple import preonly, richardson
@@ -8,11 +11,14 @@ __all__ = [
     "cg",
     "cg_hostloop",
     "cg_pipelined",
+    "gmres",
+    "bicgstab",
     "cg_refined",
     "cg_refined_tf",
     "cg_checkpointed",
     "richardson",
     "preonly",
+    "BlockJacobi",
     "CGResult",
     "ConvergedReason",
     "RefinedResult",
