@@ -48,6 +48,42 @@ def test_dist_dia_rejects_bad_partition():
         DistDIA.shard(d, make_row_mesh(3))
 
 
+def test_sharded_gmres_nonsymmetric():
+    """GMRES over a block-row-sharded nonsymmetric DistDIA (the full
+    MPIAIJ-parity story: nonsymmetric general matrices, distributed)."""
+    import scipy.sparse as sp
+
+    from tpusparse import HostCSR
+    from tpusparse.solve.gmres import gmres
+
+    n1 = 8
+    lap1 = sp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(n1, n1))
+    up1 = sp.diags([-1.0, 1.0], [-1, 0], shape=(n1, n1)) * 0.4
+    eye = sp.identity(n1)
+    a1 = lap1 + up1
+    s = (
+        sp.kron(sp.kron(a1, eye), eye)
+        + sp.kron(sp.kron(eye, a1), eye)
+        + sp.kron(sp.kron(eye, eye), a1)
+    ).tocsr()
+    d = DIA.from_csr(HostCSR.from_scipy(s))
+    rng = np.random.default_rng(2)
+    x_true = rng.standard_normal(s.shape[0])
+    b = jnp.asarray(s @ x_true)
+
+    r1 = gmres(d.mv, b, rtol=1e-10, maxiter=1000, restart=30)
+    mesh = make_row_mesh(8)
+    dd = DistDIA.shard(d, mesh)
+    b_s = shard_vector(b, mesh)
+    r8 = jax.jit(
+        lambda op, b: gmres(op.mv, b, rtol=1e-10, maxiter=1000, restart=30)
+    )(dd, b_s)
+    assert r1.converged() and r8.converged()
+    assert int(r8.iters) == int(r1.iters)
+    np.testing.assert_allclose(np.asarray(r8.x), x_true, rtol=1e-6,
+                               atol=1e-7)
+
+
 def test_sharded_unstructured_cg_gamg_iteration_parity():
     """The VERDICT item-3 gate: sharded general-matrix CG+GAMG matches the
     single-device solve iteration-for-iteration."""

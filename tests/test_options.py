@@ -58,6 +58,15 @@ def test_unsupported_value_rejected():
         load_options(["-ksp_type", "tfqmr"])
 
 
+def test_negative_option_values():
+    """PETSc accepts negative values (the reference's own DMDA sentinels are
+    negative); '-1e-8'-style tokens are values, not option keys."""
+    opts = load_options(["-ksp_atol", "-1", "-mg_levels_ksp_richardson_scale",
+                         "-0.5"])
+    assert opts.ksp_atol == -1.0
+    assert opts.mg_levels_ksp_richardson_scale == -0.5
+
+
 def test_malformed_syntax_still_hard_fails():
     with pytest.raises(ValueError, match="expected an option"):
         load_options(["ksp_rtol", "1e-9"])

@@ -133,16 +133,27 @@ _ACCEPTED_NOOPS = {
 }
 
 
+def _is_option(tok: str) -> bool:
+    """'-key' is an option; '-3', '-1e-8', '-.5' are (negative) VALUES —
+    PETSc accepts negative option values (the reference itself uses negative
+    DMDA size sentinels, ``src/main_ksp.cpp:33-35``)."""
+    return (
+        tok.startswith("-")
+        and len(tok) > 1
+        and not (tok[1].isdigit() or tok[1] == ".")
+    )
+
+
 def _parse_tokens(tokens: list[str]) -> dict:
     """Parse '-key value' pairs; bare '-key' means boolean true (PETSc style)."""
     out: dict[str, str] = {}
     i = 0
     while i < len(tokens):
         tok = tokens[i]
-        if not tok.startswith("-"):
+        if not _is_option(tok):
             raise ValueError(f"expected an option starting with '-', got {tok!r}")
         key = tok.lstrip("-")
-        if i + 1 < len(tokens) and not tokens[i + 1].startswith("-"):
+        if i + 1 < len(tokens) and not _is_option(tokens[i + 1]):
             out[key] = tokens[i + 1]
             i += 2
         else:
