@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from tpusparse.amg.hierarchy import Hierarchy, vcycle
 from tpusparse.kernels.fused7 import fused7_call, fused7_xla
-from tpusparse.sparse.padded import PaddedStar, PaddedTransfer, crop_field, pad_field
+from tpusparse.sparse.padded import PaddedStar, PaddedTransfer
 
 
 def fused_fine_supported(hier: Hierarchy) -> bool:
