@@ -274,8 +274,16 @@ def gamg_setup_unstructured(
                 # PETSc -pc_gamg_aggressive_coarsening: square the
                 # aggregation by greedily aggregating the tentative coarse
                 # graph and composing the two maps
+                from tpusparse import native
+
                 t0 = tentative_prolongator(agg)
-                coarse_graph = (t0.T @ (a_sp @ t0)).tocsr()
+                if native.available():
+                    coarse_graph = native.ptap(
+                        HostCSR.from_scipy(t0.tocsr()),
+                        HostCSR.from_scipy(a_sp),
+                    ).to_scipy()
+                else:
+                    coarse_graph = (t0.T @ (a_sp @ t0)).tocsr()
                 agg2 = greedy_aggregate(
                     HostCSR.from_scipy(coarse_graph), params.threshold
                 )

@@ -153,7 +153,11 @@ def _tz_candidates(nz: int, ny: int, nx: int, mode: str) -> list[int]:
     ]
     safe = [t for t in divs if (t + 2 * FACE) * nyp <= soft_rows]
     risky = [t for t in divs if t not in safe]
-    return safe + risky
+    # one shot at the (possibly risky) model pick — it wins big when Mosaic
+    # accepts it (e.g. tz=48 at 144^3) and the verdict is cached forever —
+    # then the empirically-safe ladder, then the remaining risky depths
+    order = [first] + safe + risky
+    return list(dict.fromkeys(order))
 
 
 def preflight_tz(mode: str, shape, pinned: bool) -> int:
