@@ -207,6 +207,13 @@ def solve_poisson(
             f" richardson | preonly)"
         )
 
+    # Runtime bring-up OUTSIDE the timed phases: the reference's timer
+    # starts after MPI_Init/PetscInitialize (src/main_ksp.cpp:70-80), so
+    # backend/plugin/compile-service startup (which on a tunneled TPU can
+    # cost ~10 s and otherwise lands in whichever phase runs first) is the
+    # PetscInitialize analogue, not init work.
+    float(jax.jit(lambda: jnp.zeros(()))())
+
     t0 = time.perf_counter()
     grid = Grid3D(nx, ny, nz)
     op, b, exact = poisson_stencil(grid, dtype=jnp.dtype(dtype).type)
