@@ -170,10 +170,16 @@ def solve_poisson(
             # a multi-chip latency play.
             from functools import partial as _partial
 
+            if not jax.config.jax_enable_x64:
+                # the cure REQUIRES f64 scalars; with x64 off this would
+                # silently re-enable the measured-NaN configuration
+                raise ValueError(
+                    "-ksp_type pipecg with mixed precision needs f64 "
+                    "recurrence scalars: enable jax_enable_x64"
+                )
             ksp_solve = _partial(
                 cg_pipelined,
-                scalar_dtype=jnp.float64
-                if jax.config.jax_enable_x64 else jnp.float32,
+                scalar_dtype=jnp.float64,
                 replace_every=5,
             )
         else:

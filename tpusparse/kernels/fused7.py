@@ -102,19 +102,35 @@ _TZ_CACHE_FILE = "/root/.cache/tpusparse_xla/fused7_tz.json"
 _TZ_LOADED = False
 
 
+def _toolchain_tag() -> str:
+    """Verdicts are toolchain-specific: stale spill verdicts from an older
+    jax/libtpu would silently disable (cached 0) or mis-size the kernels."""
+    try:
+        import jaxlib
+
+        lib = getattr(jaxlib, "__version__", "?")
+    except Exception:
+        lib = "?"
+    return f"jax{jax.__version__}-jaxlib{lib}"
+
+
 def _tz_cache_load():
     global _TZ_LOADED
     if _TZ_LOADED:
         return
     _TZ_LOADED = True
     import json
-    import os
 
     try:
         with open(_TZ_CACHE_FILE) as f:
-            for k, v in json.load(f).items():
-                mode, *dims = k.split(":")
-                _TZ_CACHE.setdefault((mode, tuple(map(int, dims))), int(v))
+            payload = json.load(f)
+        if payload.get("__toolchain__") != _toolchain_tag():
+            return  # different jax/libtpu: re-verify everything
+        for k, v in payload.items():
+            if k.startswith("__"):
+                continue
+            mode, *dims = k.split(":")
+            _TZ_CACHE.setdefault((mode, tuple(map(int, dims))), int(v))
     except (OSError, ValueError):
         pass
 
@@ -129,6 +145,7 @@ def _tz_cache_store():
             f"{m}:{':'.join(map(str, s))}": v
             for (m, s), v in _TZ_CACHE.items()
         }
+        data["__toolchain__"] = _toolchain_tag()
         tmp = _TZ_CACHE_FILE + ".tmp"
         with open(tmp, "w") as f:
             json.dump(data, f)

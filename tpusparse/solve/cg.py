@@ -118,6 +118,12 @@ def cg(
         m_mv = lambda r: r
     if history and state0 is not None:
         raise ValueError("history=True is incompatible with state0 resume")
+    if history and return_state:
+        raise ValueError(
+            "history=True is incompatible with return_state=True (the"
+            " state tuple would be returned where the caller expects the"
+            " history array)"
+        )
 
     if x0 is None:
         x0 = jnp.zeros_like(b)  # reference zeroes the initial guess (helper.cpp:48)

@@ -103,7 +103,15 @@ def gmres(
 
         def step(j, st):
             v, h, cs, sn, g, rn, it, hist, active = st
-            w = m_mv(a_mv(v[j].reshape(shape))).reshape(-1)
+            # skip the operator + preconditioner applies once converged —
+            # with a heavyweight M the masked-but-executed tail of a cycle
+            # would otherwise cost up to a full extra cycle of dead work
+            w = jax.lax.cond(
+                active,
+                lambda vj: m_mv(a_mv(vj.reshape(shape))).reshape(-1),
+                lambda vj: jnp.zeros((n,), dt),
+                v[j],
+            )
             # CGS2: two rounds of classical Gram-Schmidt as MXU matmuls.
             # Unfilled basis rows are zero, so masking is automatic.
             c1 = v @ w
