@@ -39,6 +39,17 @@ def test_dist_dia_mv_matches_single(p):
     np.testing.assert_allclose(y2, y1, rtol=1e-12, atol=1e-12)
 
 
+def test_dist_dia_single_device_mesh():
+    """p=1 mesh: the no-neighbor path (zero halos) must equal plain DIA."""
+    a, b, _ = _system(8)
+    d = DIA.from_csr(a)
+    dd = DistDIA.shard(d, make_row_mesh(1))
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(a.n_rows))
+    np.testing.assert_allclose(
+        np.asarray(dd.mv(x)), np.asarray(d.mv(x)), rtol=1e-12, atol=1e-12
+    )
+
+
 def test_dist_dia_rejects_bad_partition():
     a, _, _ = _system(8)   # 512 rows
     d = DIA.from_csr(a)
