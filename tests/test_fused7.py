@@ -106,6 +106,20 @@ def test_cg_with_mv_dot_matches_plain():
     assert abs(int(r1.iters) - int(r2.iters)) <= 1
 
 
+def test_tz_candidate_ladder():
+    """Host-side slab-depth ladder: model pick first, then the
+    empirically-safe row region, descending, divisors only."""
+    from tpusparse.kernels.fused7 import _tz_candidates, _pick_tz_mode
+
+    cands = _tz_candidates(300, 300, 300, "descent")
+    assert cands[0] == _pick_tz_mode(300, 300, 300, "descent")
+    assert all(300 % t == 0 and 300 // t >= 2 for t in cands)
+    assert len(set(cands)) == len(cands)
+    # ascent's soft row cap is tighter than descent's
+    ca = _tz_candidates(300, 300, 300, "ascent")
+    assert all(300 % t == 0 for t in ca)
+
+
 @pytest.mark.parametrize("mode", ["pre2", "descent"])
 def test_pad_invariant_preserved(mode):
     """Outputs must carry zero pads (the padded-layout invariant)."""
