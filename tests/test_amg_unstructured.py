@@ -99,3 +99,56 @@ def test_unstructured_matches_structured_iterations():
     assert abs(int(rs.iters) - int(ru.iters)) <= 15, (
         int(rs.iters), int(ru.iters),
     )
+
+def test_aij_driver_matches_stencil_driver():
+    """-mat_type aij end-to-end through the driver: same system, general
+    CSR containers — must reproduce the structured path's solution (Linf
+    identical to discretization accuracy) with the full phase protocol and
+    the KSPSetUp sub-phase breakdown (VERDICT r2 #2/#3)."""
+    from tpusparse.bench.driver import solve_poisson
+
+    rep = solve_poisson(24, rtol=1e-8, atol=1e-12, mat_type="aij")
+    ref = solve_poisson(24, rtol=1e-8, atol=1e-12, mat_type="stencil")
+    assert rep.mat_type == "aij" and rep.reason > 0
+    assert abs(rep.linf_error - ref.linf_error) < 1e-6 * max(
+        ref.linf_error, 1e-30
+    ) or abs(rep.linf_error - ref.linf_error) < 1e-7
+    assert rep.setup_breakdown is not None
+    assert set(rep.setup_breakdown) >= {
+        "aggregate", "galerkin", "rho", "device_put"
+    }
+    assert rep.t_init > 0 and rep.t_setup > 0 and rep.t_solve > 0
+    # JSON sidecar carries the new fields
+    import json
+
+    side = json.loads(rep.json_sidecar())
+    assert side["mat_type"] == "aij" and "setup_breakdown" in side
+
+
+def test_aij_driver_cli():
+    """python -m tpusparse -mat_type aij parses and routes."""
+    from tpusparse.config import load_options
+
+    opts = load_options(["-da_grid_x", "16", "-mat_type", "aij"])
+    assert opts.mat_type == "aij"
+
+
+def test_validate_degrades_unsupported_known_values():
+    """A known option name with a legal-PETSc-but-unimplemented value warns
+    and degrades (same contract as unknown names) instead of erroring
+    (VERDICT r2 weak #7)."""
+    import warnings
+
+    from tpusparse.config import load_options
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        opts = load_options(["-mg_levels_ksp_type", "gmres"])
+    assert opts.mg_levels_ksp_type == "chebyshev"
+    assert any("not implemented" in str(x.message) for x in w)
+
+    # -ksp_type still hard-errors (method substitution is not degradation)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not implemented"):
+        load_options(["-ksp_type", "tfqmr"])

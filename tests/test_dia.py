@@ -127,6 +127,9 @@ def test_unstructured_auto_uses_hybrid_on_wide_levels():
     hier = gamg_setup_unstructured(
         a, AMGParams(coarse_eq_limit=40, aggressive_coarsening=0),
         device_format="auto", transfer_format="factored",
+        aggregation="greedy",  # geometric aggregation would make every
+        # level a narrow pure DIA — this test exists for the wide greedy
+        # levels
     )
     kinds = [type(l.op).__name__ for l in hier.levels]
     assert kinds[0] == "DIA"
@@ -159,3 +162,62 @@ def test_unstructured_amg_dia_matches_ell(fmt, tfmt):
         (it1, z1), (it2, z2) = store.values()
         assert abs(it1 - it2) <= 1
         np.testing.assert_allclose(z1, z2, rtol=1e-5, atol=1e-8)
+
+
+def test_auto_container_gather_cap_fallback():
+    """A level ABOVE the gather-row cap must not keep an ELL remainder:
+    auto_container widens the bands to a pure DIA (no gather anywhere)
+    instead of crashing the deployed-libtpu worker (VERDICT r2 #9)."""
+    from tpusparse.sparse.dia import HybridDIA, auto_container
+
+    # 7-point Poisson plus a scattering of extra diagonals so the matrix
+    # occupies more distinct offsets than max_bands
+    a = _poisson_csr(12).to_scipy()
+    n = a.shape[0]
+    rng = np.random.default_rng(7)
+    extra_offsets = rng.choice(np.arange(5, n // 2), size=24, replace=False)
+    extras = sum(
+        sp.diags(np.full(n - int(o), 1e-3), int(o), shape=(n, n))
+        for o in extra_offsets
+    )
+    m = (a + extras + extras.T).tocsr()
+    k_distinct = np.unique(
+        m.indices - np.repeat(np.arange(n), np.diff(m.indptr))
+    ).size
+    assert k_distinct > 16
+
+    # below the cap: HybridDIA with a gather remainder is fine
+    small_ok = auto_container(m, max_bands=16, gather_row_cap=10 * n)
+    assert isinstance(small_ok, HybridDIA) and small_ok.rem is not None
+
+    # above the cap: pure DIA fallback, NO remainder
+    big = auto_container(m, max_bands=16, gather_row_cap=n // 2)
+    assert isinstance(big, DIA)
+    assert (big.to_scipy() != m).nnz == 0
+
+    # above the cap AND over the DIA storage budget: informative error
+    with pytest.raises(ValueError, match="gather cap"):
+        auto_container(
+            m, max_bands=16, gather_row_cap=n // 2, dia_budget_bytes=1024
+        )
+
+
+def test_unstructured_setup_respects_gather_cap():
+    """End-to-end: a hierarchy whose level-1 would cross the (artificially
+    tiny) cap builds with gather-free operators and still solves."""
+    a = _poisson_csr(10)
+    hier = gamg_setup_unstructured(
+        a, AMGParams(coarse_eq_limit=30), gather_row_cap=1
+    )
+    from tpusparse.sparse.dia import HybridDIA
+
+    for lev in hier.levels:
+        assert not (
+            isinstance(lev.op, HybridDIA) and lev.op.rem is not None
+        ), "gather remainder survived above the cap"
+    b = jnp.asarray(np.random.default_rng(3).standard_normal(a.n_rows))
+    res = cg(
+        lambda x: hier.levels[0].op.mv(x), b, rtol=1e-8, maxiter=300,
+        m_mv=lambda r: vcycle(hier, r),
+    )
+    assert int(res.reason) > 0

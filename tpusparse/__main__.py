@@ -49,6 +49,8 @@ def main(argv: list[str] | None = None) -> int:
             ksp_richardson_scale=opts.ksp_richardson_scale,
             view=opts.ksp_view,
             ksp_gmres_restart=opts.ksp_gmres_restart,
+            mat_type=opts.mat_type,
+            aggregation=opts.pc_gamg_aggregation,
         )
     if opts.ksp_view and rep.solver_view:
         print(rep.solver_view)

@@ -185,9 +185,15 @@ def _rho_dinv_a(a_sp, dinv: np.ndarray, iters: int = 25) -> float:
 def gamg_setup_unstructured(
     a: HostCSR, params: AMGParams = AMGParams(), dtype=None,
     device_format: str = "auto", max_offsets: int = 192,
-    transfer_format: str = "auto",
+    transfer_format: str = "auto", gather_row_cap: int | None = None,
+    timings: dict | None = None, aggregation: str = "auto",
 ) -> Hierarchy:
     """Build a device Hierarchy from an arbitrary symmetric HostCSR.
+
+    ``timings``: pass a dict to receive the setup-phase breakdown in seconds
+    (keys: "aggregate", "galerkin", "rho", "device_put") — KSPSetUp is a
+    first-class timed phase in the reference (src/main_ksp.cpp:97-100), so
+    its dominant sub-costs must be observable here.
 
     ``device_format`` picks the level-operator container: "dia" (banded,
     gather-free — runs inside solver loops at any size on the deployed v5e
@@ -199,6 +205,13 @@ def gamg_setup_unstructured(
     ``transfer_format``: "factored" keeps P = (I - omega D^-1 A) T in
     factored form (no fine-sized index gathers; see FactoredTransfer),
     "ell" materializes explicit P / P^T matrices, "auto" = factored.
+
+    ``aggregation``: "greedy" is the fully general graph path (Vanek greedy
+    + FactoredTransfer); "geometric" demands a grid-shaped sparsity pattern
+    (``amg/geo.infer_grid3d``) and aggregates by 3-D index blocks with
+    reshape-based transfers — no gathers or scatters anywhere in the cycle;
+    "auto" (default) uses geometric when the pattern reveals a grid, greedy
+    otherwise.
     """
     import scipy.sparse as sp
 
@@ -210,7 +223,24 @@ def gamg_setup_unstructured(
         raise ValueError(f"unknown device_format {device_format!r}")
     if transfer_format not in ("auto", "factored", "ell"):
         raise ValueError(f"unknown transfer_format {transfer_format!r}")
+    if aggregation not in ("auto", "geometric", "greedy"):
+        raise ValueError(f"unknown aggregation {aggregation!r}")
     factored = transfer_format in ("auto", "factored")
+
+    geo_shape = None
+    if aggregation in ("auto", "geometric"):
+        from tpusparse.amg.geo import infer_grid3d
+
+        rows_ = np.repeat(
+            np.arange(a.n_rows, dtype=np.int64), np.diff(a.indptr)
+        )
+        offs_ = np.unique(a.indices.astype(np.int64) - rows_)
+        geo_shape = infer_grid3d(tuple(offs_.tolist()), a.n_rows)
+        if geo_shape is None and aggregation == "geometric":
+            raise ValueError(
+                "aggregation='geometric' but the sparsity pattern does not"
+                " reveal a 3-D grid (infer_grid3d); use 'auto' or 'greedy'"
+            )
 
     def make_op(h: HostCSR):
         if device_format in ("auto", "dia"):
@@ -223,11 +253,24 @@ def gamg_setup_unstructured(
             # wide-stencil level (e.g. Galerkin coarse op under greedy
             # aggregation): heavy diagonals as bands + thin gather
             # remainder — ~10x less gather volume than full ELL, which is
-            # what keeps coarse V-cycle applies fast (TPU gathers are slow)
-            from tpusparse.sparse.dia import HybridDIA
+            # what keeps coarse V-cycle applies fast (TPU gathers are slow).
+            # auto_container enforces the libtpu gather-row cap: levels too
+            # large to gather get a widened DIA-only fallback (or an
+            # informative error), never a worker crash (sparse/dia.py).
+            from tpusparse.sparse.dia import GATHER_ROW_CAP, auto_container
 
-            return HybridDIA.from_csr(h, dtype=dtype)
+            return auto_container(
+                h, max_bands=64, dtype=dtype,
+                gather_row_cap=(
+                    GATHER_ROW_CAP if gather_row_cap is None
+                    else gather_row_cap
+                ),
+            )
         return ELL.from_csr(h, dtype=dtype)
+    import time as _time
+
+    tm = {"aggregate": 0.0, "galerkin": 0.0, "rho": 0.0, "device_put": 0.0}
+
     a_sp = a.to_scipy()
     levels: list[Level] = []
     transfers: list[ELLTransfer | None] = []
@@ -237,6 +280,7 @@ def gamg_setup_unstructured(
         diag = a_sp.diagonal()
         dinv = 1.0 / diag
         bjac = None
+        _t0 = _time.perf_counter()
         if params.bjacobi_bs > 1:
             # real PCBJACOBI smoother sub-PC: invert bs x bs diagonal blocks
             from tpusparse.solve.bjacobi import BlockJacobi
@@ -260,17 +304,46 @@ def gamg_setup_unstructured(
             rho_point = (
                 _rho_dinv_a(a_sp, dinv, params.rho_iters) * params.rho_safety
             )
+            op_dev = None
         else:
-            rho = (
-                _rho_dinv_a(a_sp, dinv, params.rho_iters) * params.rho_safety
-            )
+            # rho(D^-1 A) power iteration ON DEVICE over the level's own
+            # container (gather-free DIA mv): the host-scipy version costs
+            # 25 single-threaded SpMVs — seconds at 27M rows, the single
+            # largest setup item measured at 300^3
+            _tp = _time.perf_counter()
+            op_dev = make_op(HostCSR.from_scipy(a_sp))
+            dt_put = _time.perf_counter() - _tp
+            tm["device_put"] += dt_put
+            _t0 += dt_put  # container build is charged to device_put, not rho
+            from tpusparse.amg.hierarchy import estimate_rho_dinv_a
+
+            dinv_dev = jnp.asarray(dinv, op_dev.dtype)
+            rho = float(
+                estimate_rho_dinv_a(op_dev, dinv_dev, params.rho_iters)
+            ) * params.rho_safety
             rho_point = rho
+        tm["rho"] += _time.perf_counter() - _t0
         last = n <= params.coarse_eq_limit or len(levels) + 1 >= params.max_levels
         if not last:
-            agg = greedy_aggregate(
-                HostCSR.from_scipy(a_sp), params.threshold
-            )
-            if len(levels) < params.aggressive_coarsening:
+            _t0 = _time.perf_counter()
+            next_geo = bs = None
+            if geo_shape is not None:
+                # geometric index-block aggregation (grid-shaped pattern):
+                # no graph walk, and the transfers become pure reshapes
+                from tpusparse.amg.geo import (
+                    coarse_dims,
+                    geo_aggregate_ids,
+                    geo_block_sizes,
+                )
+
+                bs = geo_block_sizes(geo_shape, params.factor)
+                agg = geo_aggregate_ids(geo_shape, bs)
+                next_geo = coarse_dims(geo_shape, bs)
+            else:
+                agg = greedy_aggregate(
+                    HostCSR.from_scipy(a_sp), params.threshold
+                )
+            if geo_shape is None and len(levels) < params.aggressive_coarsening:
                 # PETSc -pc_gamg_aggressive_coarsening: square the
                 # aggregation by greedily aggregating the tentative coarse
                 # graph and composing the two maps
@@ -290,7 +363,11 @@ def gamg_setup_unstructured(
                 agg = agg2[agg]
             if agg.max() + 1 >= n:  # aggregation stalled
                 last = True
-        op_dev = make_op(HostCSR.from_scipy(a_sp))
+            tm["aggregate"] += _time.perf_counter() - _t0
+        if op_dev is None:  # bjacobi branch built no container yet
+            _t0 = _time.perf_counter()
+            op_dev = make_op(HostCSR.from_scipy(a_sp))
+            tm["device_put"] += _time.perf_counter() - _t0
         lev_common = dict(
             op=op_dev,
             dinv=jnp.asarray(dinv, op_dev.dtype),
@@ -302,11 +379,30 @@ def gamg_setup_unstructured(
             break
         t = tentative_prolongator(agg)
         omega = params.omega_scale / rho_point if params.nsmooths == 1 else 0.0
+        _t0 = _time.perf_counter()
         if params.nsmooths == 1:
             p = (t - omega * sp.diags(dinv) @ (a_sp @ t)).tocsr()
         else:
             p = t
-        if factored:
+        tm["galerkin"] += _time.perf_counter() - _t0
+        if geo_shape is not None and transfer_format == "auto":
+            # geometric aggregation's native transfer: pure reshapes.  An
+            # EXPLICIT transfer_format request still wins below (the math
+            # is identical — geo agg ids work in any container).
+            from tpusparse.amg.geo import GeoTransfer
+
+            sizes = np.bincount(
+                agg, minlength=int(agg.max()) + 1
+            ).astype(np.float64)
+            transfer = GeoTransfer(
+                w=jnp.asarray(
+                    1.0 / np.sqrt(sizes[agg]), lev_common["dinv"].dtype
+                ),
+                omega=jnp.asarray(omega, lev_common["dinv"].dtype),
+                fine_shape=geo_shape,
+                bs=bs,
+            )
+        elif factored:
             n_c = int(agg.max()) + 1
             sizes = np.bincount(agg, minlength=n_c).astype(np.float64)
             transfer = FactoredTransfer(
@@ -322,11 +418,14 @@ def gamg_setup_unstructured(
                 p=ELL.from_csr(HostCSR.from_scipy(p), dtype=dtype),
                 r=ELL.from_csr(HostCSR.from_scipy(p.T.tocsr()), dtype=dtype),
             )
+        if geo_shape is not None:
+            geo_shape = next_geo  # Galerkin coarse op inherits 3-D lex
         levels.append(Level(transfer=transfer, **lev_common))
         # Galerkin triple product (PETSc MatPtAP parity): native C++ SpGEMM
         # when built (tpusparse/native), scipy otherwise
         from tpusparse import native
 
+        _t0 = _time.perf_counter()
         if native.available():
             ac = native.ptap(HostCSR.from_scipy(p), HostCSR.from_scipy(a_sp)).to_scipy()
         else:
@@ -334,7 +433,10 @@ def gamg_setup_unstructured(
         ac.sum_duplicates()
         ac.eliminate_zeros()
         a_sp = ac
+        tm["galerkin"] += _time.perf_counter() - _t0
 
+    if timings is not None:
+        timings.update(tm)
     lead = levels[0].dinv.dtype
     return Hierarchy(
         levels=levels,

@@ -42,6 +42,14 @@ class SolveReport:
     pc: str
     precision: str = "f64"
     outer_iters: int = 0
+    # -mat_type: "stencil" (structured DMDA fast path) or "aij"
+    # (general assembled-CSR path, DMSetMatType(MATAIJ) parity —
+    # /root/reference/src/helper.cpp:39)
+    mat_type: str = "stencil"
+    # KSPSetUp sub-phase breakdown (aij path): aggregate/galerkin/rho/
+    # device_put seconds — the reference times setup as a first-class
+    # phase (src/main_ksp.cpp:97-100)
+    setup_breakdown: dict | None = None
     # -ksp_monitor data: per-iteration ||r||_2 for uniform-precision solves,
     # per-OUTER-sweep true ||r||_2 for mixed precision (index 0 = initial)
     residual_history: list | None = None
@@ -105,6 +113,78 @@ class DivergedError(RuntimeError):
     """SETERRQ1-on-negative-reason parity (src/main_ksp.cpp:109-111)."""
 
 
+def _pick_ksp(
+    ksp: str,
+    precision: str,
+    ksp_gmres_restart: int,
+    ksp_richardson_scale: float,
+):
+    """Resolve a -ksp_type name to a solver callable (shared by the stencil
+    and aij drivers)."""
+    if ksp == "cg":
+        return cg
+    if ksp == "pipecg":
+        from tpusparse.solve.pipelined import cg_pipelined
+
+        if precision in ("mixed", "tf"):
+            # round 1 measured the f32 inner recurrences NaN'ing at >=144^3
+            # (the delta - beta*gamma/alpha denominator cancels in f32).
+            # Cure: f64 RECURRENCE SCALARS + residual replacement every 5
+            # (vectors and dots stay f32).  Measured on-chip: 144^3
+            # converges to rel 2e-9; at 216^3+ the solution still reaches
+            # discretization accuracy (Linf = O(h^2)) but the pipelined
+            # attainable-accuracy floor sits above rtol 1e-8, reported
+            # honestly as CONVERGED_STALLED.  Classic cg remains the
+            # default inner solver; pipecg's fused-reduction advantage is
+            # a multi-chip latency play.
+            from functools import partial as _partial
+
+            if not jax.config.jax_enable_x64:
+                # the cure REQUIRES f64 scalars; with x64 off this would
+                # silently re-enable the measured-NaN configuration
+                raise ValueError(
+                    "-ksp_type pipecg with mixed precision needs f64 "
+                    "recurrence scalars: enable jax_enable_x64"
+                )
+            return _partial(
+                cg_pipelined,
+                scalar_dtype=jnp.float64,
+                replace_every=5,
+            )
+        return cg_pipelined
+    if ksp == "gmres":
+        # KSPGMRES (PETSc's default type): restarted, left-preconditioned,
+        # CGS2 orthogonalization as MXU matmuls (solve/gmres.py)
+        from functools import partial as _partial
+
+        from tpusparse.solve.gmres import gmres
+
+        return _partial(gmres, restart=ksp_gmres_restart)
+    if ksp == "bcgs":
+        # KSPBCGS: short-recurrence nonsymmetric workhorse
+        from tpusparse.solve.bcgs import bicgstab
+
+        return bicgstab
+    if ksp == "richardson":
+        # KSPRICHARDSON as the top-level (or inner, under mixed precision)
+        # solver: multigrid-as-a-solver when pc=gamg
+        from functools import partial as _partial
+
+        from tpusparse.solve.simple import richardson
+
+        return _partial(richardson, scale=ksp_richardson_scale)
+    if ksp == "preonly":
+        # KSPPREONLY: one preconditioner application; under mixed precision
+        # this is classic "one V-cycle per defect-correction sweep"
+        from tpusparse.solve.simple import preonly
+
+        return preonly
+    raise ValueError(
+        f"unknown ksp {ksp!r} (cg | pipecg | gmres | bcgs |"
+        f" richardson | preonly)"
+    )
+
+
 def solve_poisson(
     nx: int,
     ny: int | None = None,
@@ -128,6 +208,8 @@ def solve_poisson(
     ksp_richardson_scale: float = 1.0,
     view: bool = False,
     ksp_gmres_restart: int = 30,
+    mat_type: str = "stencil",
+    aggregation: str = "auto",
 ) -> SolveReport:
     """End-to-end solve with the reference's defaults
     (tolerances: configs/PETSc_SolverOptions_GAMG.info:1-4).
@@ -137,6 +219,11 @@ def solve_poisson(
     solve/refine.py), "f64" (uniform f64, strict reference parity, slow on
     TPUs without native f64), or "f32" (uniform f32, tolerance-limited).
 
+    ``mat_type``: "stencil" (default) is the structured DMDA-equivalent
+    fast path; "aij" treats the same system as an arbitrary assembled CSR —
+    DMSetMatType(MATAIJ) parity (/root/reference/src/helper.cpp:39) — over
+    gather-free DIA containers with unstructured smoothed-aggregation GAMG.
+
     Phase timing protocol matches main_ksp.cpp:80-106: init = system build,
     setup = preconditioner construction, solve = the (pre-compiled) solve.
     When ``warmup`` is true the solve is compiled + run once first, so
@@ -145,6 +232,18 @@ def solve_poisson(
     """
     ny = ny or nx
     nz = nz or nx
+    if mat_type not in ("stencil", "aij"):
+        raise ValueError(f"unknown mat_type {mat_type!r} (stencil | aij)")
+    if mat_type == "aij":
+        return _solve_poisson_aij(
+            nx, ny, nz, rtol=rtol, atol=atol, maxiter=maxiter, pc=pc,
+            amg_params=amg_params, precision=precision, warmup=warmup,
+            check_error=check_error, n_devices=n_devices, ksp=ksp,
+            mg_cycle=mg_cycle, monitor=monitor, view=view,
+            ksp_gmres_restart=ksp_gmres_restart,
+            ksp_richardson_scale=ksp_richardson_scale,
+            aggregation=aggregation,
+        )
     if precision not in ("mixed", "tf", "f64", "f32"):
         raise ValueError(f"unknown precision {precision!r}")
     if precision == "f32":
@@ -152,66 +251,9 @@ def solve_poisson(
     if dtype == jnp.float64 and not jax.config.jax_enable_x64:
         raise RuntimeError("enable jax_enable_x64 before building f64 systems")
     mixed = precision in ("mixed", "tf")
-    if ksp == "cg":
-        ksp_solve = cg
-    elif ksp == "pipecg":
-        from tpusparse.solve.pipelined import cg_pipelined
-
-        if precision in ("mixed", "tf"):
-            # round 1 measured the f32 inner recurrences NaN'ing at >=144^3
-            # (the delta - beta*gamma/alpha denominator cancels in f32).
-            # Cure: f64 RECURRENCE SCALARS + residual replacement every 5
-            # (vectors and dots stay f32).  Measured on-chip: 144^3
-            # converges to rel 2e-9; at 216^3+ the solution still reaches
-            # discretization accuracy (Linf = O(h^2)) but the pipelined
-            # attainable-accuracy floor sits above rtol 1e-8, reported
-            # honestly as CONVERGED_STALLED.  Classic cg remains the
-            # default inner solver; pipecg's fused-reduction advantage is
-            # a multi-chip latency play.
-            from functools import partial as _partial
-
-            if not jax.config.jax_enable_x64:
-                # the cure REQUIRES f64 scalars; with x64 off this would
-                # silently re-enable the measured-NaN configuration
-                raise ValueError(
-                    "-ksp_type pipecg with mixed precision needs f64 "
-                    "recurrence scalars: enable jax_enable_x64"
-                )
-            ksp_solve = _partial(
-                cg_pipelined,
-                scalar_dtype=jnp.float64,
-                replace_every=5,
-            )
-        else:
-            ksp_solve = cg_pipelined
-    elif ksp == "gmres":
-        # KSPGMRES (PETSc's default type): restarted, left-preconditioned,
-        # CGS2 orthogonalization as MXU matmuls (solve/gmres.py)
-        from functools import partial as _partial
-
-        from tpusparse.solve.gmres import gmres
-
-        ksp_solve = _partial(gmres, restart=ksp_gmres_restart)
-    elif ksp == "bcgs":
-        # KSPBCGS: short-recurrence nonsymmetric workhorse
-        from tpusparse.solve.bcgs import bicgstab as ksp_solve
-    elif ksp == "richardson":
-        # KSPRICHARDSON as the top-level (or inner, under mixed precision)
-        # solver: multigrid-as-a-solver when pc=gamg
-        from functools import partial as _partial
-
-        from tpusparse.solve.simple import richardson
-
-        ksp_solve = _partial(richardson, scale=ksp_richardson_scale)
-    elif ksp == "preonly":
-        # KSPPREONLY: one preconditioner application; under mixed precision
-        # this is classic "one V-cycle per defect-correction sweep"
-        from tpusparse.solve.simple import preonly as ksp_solve
-    else:
-        raise ValueError(
-            f"unknown ksp {ksp!r} (cg | pipecg | gmres | bcgs |"
-            f" richardson | preonly)"
-        )
+    ksp_solve = _pick_ksp(
+        ksp, precision, ksp_gmres_restart, ksp_richardson_scale
+    )
 
     # Runtime bring-up OUTSIDE the timed phases: the reference's timer
     # starts after MPI_Init/PetscInitialize (src/main_ksp.cpp:70-80), so
@@ -436,4 +478,179 @@ def solve_poisson(
         outer_iters=int(getattr(res, "outer_iters", 0)),
         residual_history=history,
         solver_view=view_text,
+    )
+
+
+def _solve_poisson_aij(
+    nx: int,
+    ny: int,
+    nz: int,
+    *,
+    rtol: float,
+    atol: float,
+    maxiter: int,
+    pc: str,
+    amg_params: AMGParams | None,
+    precision: str,
+    warmup: bool,
+    check_error: bool,
+    n_devices: int,
+    ksp: str,
+    mg_cycle: str,
+    monitor: bool,
+    view: bool,
+    ksp_gmres_restart: int,
+    ksp_richardson_scale: float,
+    aggregation: str = "auto",
+) -> SolveReport:
+    """The general-matrix driver: the manufactured Poisson system ASSEMBLED
+    as an arbitrary host CSR (MATAIJ parity — the reference's actual matrix
+    type, ``DMSetMatType(MATAIJ)`` /root/reference/src/helper.cpp:39, solved
+    through PETSc's patched general-CSR kernel
+    ``src/openacc-step1/MatMult_SeqAIJ.patch:19-30``), then solved through
+    gather-free DIA containers + unstructured smoothed-aggregation GAMG.
+
+    Same phase protocol and output contract as the stencil driver
+    (src/main_ksp.cpp:80-129): init = assembly + fine-operator upload,
+    setup = GAMG hierarchy build (with a sub-phase breakdown in the JSON
+    sidecar), solve = the pre-compiled solve.
+    """
+    import numpy as np
+
+    from tpusparse.amg.unstructured import gamg_setup_unstructured
+    from tpusparse.grid.poisson import assemble_poisson
+    from tpusparse.sparse.dia import DIA
+
+    if precision not in ("mixed", "f64", "f32"):
+        raise ValueError(
+            f"mat_type=aij supports precision mixed|f64|f32, got {precision!r}"
+        )
+    if n_devices != 1:
+        raise NotImplementedError(
+            "mat_type=aij multi-device driver: use dist.general.DistDIA"
+            " (sharded path exercised by __graft_entry__.dryrun_multichip)"
+        )
+    mixed = precision == "mixed"
+    hi_dtype = np.float32 if precision == "f32" else np.float64
+    if hi_dtype == np.float64 and not jax.config.jax_enable_x64:
+        raise RuntimeError("enable jax_enable_x64 before building f64 systems")
+    lo_dtype = np.float32
+    ksp_solve = _pick_ksp(ksp, precision, ksp_gmres_restart,
+                          ksp_richardson_scale)
+    if mg_cycle not in ("v", "w"):
+        raise ValueError(f"unknown mg_cycle {mg_cycle!r}")
+    gamma = 1 if mg_cycle == "v" else 2
+
+    # runtime bring-up outside the timed phases (PetscInitialize analogue)
+    float(jax.jit(lambda: jnp.zeros(()))())
+
+    t0 = time.perf_counter()
+    grid = Grid3D(nx, ny, nz)
+    a, b_np, exact_np = assemble_poisson(grid, dtype=hi_dtype)
+    op_hi = DIA.from_csr(a)  # outer/defect-correction operator, hi dtype
+    b = jnp.asarray(b_np)
+    exact = jnp.asarray(exact_np)
+    float(jnp.vdot(b, b))  # sync (tunnel-safe)
+    t_init = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    breakdown: dict = {}
+    params = amg_params or AMGParams()
+    if pc == "gamg":
+        pc_state = gamg_setup_unstructured(
+            a, params, dtype=lo_dtype if mixed else None,
+            timings=breakdown, aggregation=aggregation,
+        )
+        op_lo = pc_state.levels[0].op
+        m_of = lambda pc_state: (
+            lambda r: vcycle(pc_state, r, gamma=gamma)
+        )
+    elif pc == "jacobi":
+        diag = jnp.asarray(a.diagonal(), lo_dtype if mixed else hi_dtype)
+        pc_state = 1.0 / diag
+        op_lo = DIA.from_csr(a, dtype=lo_dtype) if mixed else op_hi
+        m_of = lambda pc_state: (lambda r: pc_state * r)
+    elif pc == "none":
+        pc_state = jnp.zeros(())
+        op_lo = DIA.from_csr(a, dtype=lo_dtype) if mixed else op_hi
+        m_of = lambda pc_state: None
+    else:
+        raise ValueError(f"unknown pc {pc!r}")
+
+    if mixed:
+        from tpusparse.solve.refine import cg_refined
+
+        def solve_fn(op_hi, op_lo, pc_state, b):
+            return cg_refined(
+                op_hi.mv, op_lo.mv, b, rtol=rtol, atol=atol,
+                m_lo_mv=m_of(pc_state), solver=ksp_solve, history=monitor,
+            )
+    else:
+        def solve_fn(op_hi, op_lo, pc_state, b):
+            return ksp_solve(
+                op_hi.mv, b, rtol=rtol, atol=atol, maxiter=maxiter,
+                m_mv=m_of(pc_state), history=monitor,
+            )
+
+    jitted = jax.jit(solve_fn)
+    solve = lambda b: jitted(op_hi, op_lo, pc_state, b)
+    float(jnp.sum(jax.tree.leaves(pc_state)[0]))  # sync setup products
+    t_setup = time.perf_counter() - t0
+
+    if warmup:
+        out = solve(b)
+        float((out[0] if monitor else out).resnorm)
+
+    t0 = time.perf_counter()
+    res = solve(b)
+    hist = None
+    if monitor:
+        res, hist = res
+    resnorm = float(res.resnorm)
+    t_solve = time.perf_counter() - t0
+
+    reason = int(res.reason)
+    if reason < 0:
+        raise DivergedError(f"Diverged reason: {reason}")
+
+    view_text = None
+    if view:
+        lines = [
+            f"KSP Object: type {ksp}, rtol {rtol:g}, atol {atol:g},"
+            f" maxit {maxiter}",
+            f"  precision: {precision}, mat_type: aij"
+            f" (DIA/HybridDIA containers)",
+        ]
+        if pc == "gamg":
+            from tpusparse.amg.hierarchy import hierarchy_summary
+
+            lines.append(hierarchy_summary(pc_state))
+        else:
+            lines.append(f"PC Object: type {pc}")
+        view_text = "\n".join(lines)
+
+    history = None
+    if hist is not None:
+        count = int(getattr(res, "outer_iters", None) or res.iters)
+        history = [float(v) for v in np.asarray(hist)[: count + 1]]
+
+    linf = float(jnp.abs(res.x - exact).max()) if check_error else float("nan")
+    return SolveReport(
+        nx=nx, ny=ny, nz=nz,
+        iters=int(res.iters),
+        resnorm=resnorm,
+        linf_error=linf,
+        reason=reason,
+        t_init=t_init,
+        t_setup=t_setup,
+        t_solve=t_solve,
+        rtol=rtol,
+        atol=atol,
+        pc=pc,
+        precision=precision,
+        outer_iters=int(getattr(res, "outer_iters", 0)),
+        residual_history=history,
+        solver_view=view_text,
+        mat_type="aij",
+        setup_breakdown={k: round(v, 4) for k, v in breakdown.items()} or None,
     )

@@ -2,9 +2,12 @@
 
 PETSc's short-recurrence nonsymmetric workhorse (the usual alternative to
 GMRES when storing a restart-length basis is too expensive).  Same contract
-as ``cg``: one ``lax.while_loop``, right-preconditioned in the PETSc BCGS
-convention (convergence on the true residual), converged-reason API,
-optional residual history.
+as ``cg``: one ``lax.while_loop``, converged-reason API, optional residual
+history.  This implementation is RIGHT-preconditioned with convergence on
+the true residual — note that PETSc's KSPBCGS default is LEFT
+preconditioning with the preconditioned norm; the two agree on the
+solution but their residual norms (and hence iteration counts near the
+tolerance) can differ.
 
 Breakdown (rho or omega ~ 0) is detected and reported via
 ``DIVERGED_BREAKDOWN`` (PETSc's KSP_DIVERGED_BREAKDOWN = -5).
@@ -96,12 +99,23 @@ def bicgstab(
         t = a_mv(sh)
         tt = _dot(t, t)
         omega = _dot(t, s) / jnp.where(tt == 0, one, tt)
-        x = x + alpha * ph + omega * sh
-        r = s - omega * t
-        rnorm = jnp.sqrt(_dot(r, r))
-        new = (x, r, p, v, rho_new, alpha, omega, rnorm, it + 1, broke)
+        x_new = x + alpha * ph + omega * sh
+        r_new = s - omega * t
+        rnorm = jnp.sqrt(_dot(r_new, r_new))
+        # breakdown detected mid-body: return the PRE-breakdown state.
+        # PETSc's BCGS exits before applying the update; the substituted
+        # unit denominators above exist only to keep the arithmetic finite,
+        # their alpha/beta must never reach x/r.
+        keep = lambda old, new_: jnp.where(broke, old, new_)
+        new = (
+            keep(x, x_new), keep(r, r_new), keep(state[2], p),
+            keep(state[3], v), keep(rho, rho_new),
+            keep(state[5], alpha), keep(state[6], omega),
+            keep(_rn, rnorm), it + 1, broke,
+        )
         if history:
-            new += (state[10].at[it + 1].set(rnorm.astype(jnp.float32)),)
+            hist = state[10].at[it + 1].set(rnorm.astype(jnp.float32))
+            new += (jnp.where(broke, state[10], hist),)
         return new
 
     state = (x0, r0, zeros, zeros, one, one, one, rnorm0,

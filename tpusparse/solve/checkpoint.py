@@ -91,12 +91,35 @@ def cg_checkpointed(
     zeros = jnp.zeros_like(b)
     template = (zeros, zeros, zeros, zeros,
                 jnp.zeros((), b.dtype), jnp.zeros((), b.dtype), jnp.int32(0))
+    # problem fingerprint: resuming a checkpoint written for different
+    # tolerances or a different rhs would silently continue from an
+    # incompatible Krylov state — validate identity before trusting it
+    ident = {
+        "rtol": float(rtol), "atol": float(atol),
+        "shape": list(b.shape), "dtype": str(b.dtype),
+        "b_norm2": float(jnp.vdot(b, b)),
+    }
     state = None
     done = 0  # global iterations completed (the state's counter is
     # chunk-RELATIVE so every chunk runs the same static-maxiter compiled
     # program; a global counter would retrace/recompile once per chunk)
     if resume and path.exists():
         state, meta = load_pytree(path, template)
+        saved = {k: meta.get(k) for k in ident}
+
+        def mismatch(k):
+            if meta.get(k) is None:
+                return False  # pre-fingerprint checkpoint: nothing to check
+            if k == "b_norm2":  # backend-dependent last-ulp rounding is fine
+                return abs(meta[k] - ident[k]) > 1e-10 * max(abs(ident[k]), 1)
+            return meta[k] != ident[k]
+
+        if any(mismatch(k) for k in ident):
+            raise ValueError(
+                f"checkpoint {path} was written for a different problem or "
+                f"tolerances (saved {saved}, current {ident}); delete it or "
+                f"pass resume=False to restart"
+            )
         done = int(meta.get("iters", 0))
         state = state[:6] + (jnp.int32(0),)
 
@@ -109,7 +132,7 @@ def cg_checkpointed(
         )
         done += int(res.iters)
         state = state[:6] + (jnp.int32(0),)
-        save_pytree(path, state, {"iters": done, "rtol": rtol, "atol": atol})
+        save_pytree(path, state, {"iters": done, **ident})
         if cfg.keep_history:
             save_pytree(
                 path.with_suffix(path.suffix + f".it{done}"), state,

@@ -102,7 +102,7 @@ def gmres(
         g = jnp.zeros((m + 1,), dt).at[0].set(beta)
 
         def step(j, st):
-            v, h, cs, sn, g, rn, it, hist, active = st
+            v, h, cs, sn, g, rn, it, hist, filled, active = st
             # skip the operator + preconditioner applies once converged —
             # with a heavyweight M the masked-but-executed tail of a cycle
             # would otherwise cost up to a full extra cycle of dead work
@@ -148,29 +148,37 @@ def gmres(
             g = jnp.where(active, g_new, g)
             rn = jnp.where(active, rn_new, rn)
             it = jnp.where(active, it + 1, it)
+            filled = jnp.where(active, filled.at[j].set(True), filled)
             if history:
                 hist = jnp.where(
                     active, hist.at[it].set(rn.astype(jnp.float32)), hist
                 )
             still = classify(rn, it) == jnp.int32(ConvergedReason.ITERATING)
-            return (v, h, cs, sn, g, rn, it, hist, active & still)
+            return (v, h, cs, sn, g, rn, it, hist, filled, active & still)
 
-        it0 = it
         st = (v, h, cs, sn, g, rnorm, it, hist,
+              jnp.zeros((m,), jnp.bool_),
               classify(rnorm, it) == jnp.int32(ConvergedReason.ITERATING))
-        v, h, cs, sn, g, rnorm, it, hist, _ = jax.lax.fori_loop(
+        v, h, cs, sn, g, rnorm, it, hist, filled, _ = jax.lax.fori_loop(
             0, m, step, st
         )
 
         # back-substitute R y = g on the m x m triangle (tiny, on device).
-        # Columns beyond the k filled steps are all-zero with a unit
-        # diagonal injected (block-diagonal system), and their y entries
-        # are masked out of the update below.
-        k = it - it0
+        # Column validity is tracked EXPLICITLY (the per-step filled mask):
+        # unfilled columns AND filled columns whose rotated diagonal is
+        # exactly zero (lucky breakdown at step j — indistinguishable from
+        # unfilled by inspecting h alone) get a unit diagonal injected and
+        # their y entries masked out, so no spurious v_j coefficient can
+        # enter the update.
         diag = jnp.diagonal(h[:m, :])
-        hs = h[:m, :] + jnp.diag(jnp.where(jnp.abs(diag) > 0, 0.0, 1.0))
+        valid = filled & (jnp.abs(diag) > 0)
+        # zero invalid columns entirely (their above-diagonal entries must
+        # not couple into other y entries) and give them a unit diagonal
+        hs = jnp.where(valid[None, :], h[:m, :], jnp.zeros((), dt)) + jnp.diag(
+            jnp.where(valid, 0.0, 1.0).astype(dt)
+        )
         y = jax.scipy.linalg.solve_triangular(hs, g[:m], lower=False)
-        y = jnp.where(jnp.arange(m) < k, y, jnp.zeros((), dt))
+        y = jnp.where(valid, y, jnp.zeros((), dt))
         x = x + (v[:m].T @ y).reshape(shape)
         return (x, rnorm, it, hist)
 

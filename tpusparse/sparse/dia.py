@@ -251,6 +251,8 @@ class HybridDIA:
     def mv(self, x: jax.Array) -> jax.Array:
         y = self.dia.mv(x)
         if self.rem is not None:
+            # the remainder GATHERS (x[cols]) — callers building hierarchies
+            # must keep n_rows below GATHER_ROW_CAP (see auto_container)
             y = y + self.rem.mv(x)
         return y
 
@@ -265,3 +267,62 @@ class HybridDIA:
 
     def __matmul__(self, x):
         return self.mv(x)
+
+
+# Empirical deployed-libtpu limit: gather-based mv (ELL/COO/BSR ``x[cols]``)
+# inside jitted solver loops crashes the TPU worker at >= ~2M rows (2.1M
+# measured fine, 27M crashes reproducibly; see the module docstring).  Any
+# operator that keeps an ELL gather remainder must sit safely below this,
+# with margin for libtpu-build variance.
+GATHER_ROW_CAP = 1_500_000
+
+
+def auto_container(
+    csr,
+    max_bands: int = 64,
+    dtype=None,
+    device=None,
+    gather_row_cap: int = GATHER_ROW_CAP,
+    dia_budget_bytes: int = 4 << 30,
+):
+    """Pick the safest fast container for a mesh-graph CSR level operator.
+
+    Small-enough-to-gather levels get the usual treatment: pure DIA when the
+    bands cover everything, else HybridDIA (heavy diagonals as bands + thin
+    ELL gather remainder).  Levels ABOVE ``gather_row_cap`` rows must not
+    gather at all — a HybridDIA remainder there would put an ELL ``x[cols]``
+    inside the solver loop exactly at the scale the deployed libtpu crashes
+    on — so the bands are widened until they cover every occupied diagonal
+    (DIA-only fallback).  If that widened DIA would exceed
+    ``dia_budget_bytes`` of band storage, raise instead of risking a worker
+    crash / HBM blowout; the caller must coarsen harder or shrink the level.
+    """
+    import numpy as np_
+
+    from tpusparse.sparse.csr import HostCSR
+
+    if not isinstance(csr, HostCSR):
+        csr = HostCSR.from_scipy(csr)
+    n = csr.shape[0]
+    rows = np_.repeat(np_.arange(n, dtype=np_.int64), np_.diff(csr.indptr))
+    k_distinct = np_.unique(csr.indices.astype(np_.int64) - rows).size
+
+    if k_distinct <= max_bands or n <= gather_row_cap:
+        hyb = HybridDIA.from_csr(
+            csr, max_bands=max_bands, dtype=dtype, device=device
+        )
+        return hyb.dia if hyb.rem is None else hyb
+
+    itemsize = np_.dtype(dtype or csr.data.dtype).itemsize
+    need = k_distinct * n * itemsize
+    if need > dia_budget_bytes:
+        raise ValueError(
+            f"level operator has {n} rows (> gather cap {gather_row_cap}) "
+            f"over {k_distinct} diagonals; gather-free DIA storage would "
+            f"need {need / 2**30:.1f} GiB > budget "
+            f"{dia_budget_bytes / 2**30:.1f} GiB — coarsen harder "
+            f"(aggressive_coarsening) or raise dia_budget_bytes"
+        )
+    return DIA.from_csr(
+        csr, max_offsets=k_distinct, dtype=dtype, device=device
+    )
