@@ -221,3 +221,42 @@ def test_unstructured_setup_respects_gather_cap():
         m_mv=lambda r: vcycle(hier, r),
     )
     assert int(res.reason) > 0
+
+
+def test_dfdia_two_float_precision():
+    """DFDIA (hi+lo f32) must apply A to ~2^-48 relative accuracy in f64,
+    and detect exactly-f32-representable operators (lo is None — zero
+    extra upload for e.g. the Poisson matrix)."""
+    from tpusparse.sparse.dia import DFDIA
+
+    # exactly representable: h^-2 multiples
+    a = _poisson_csr(8)
+    bands64, offs, shp = DIA.host_bands(a)
+    df = DFDIA.from_host_bands(bands64, offs, shp)
+    assert df.lo is None
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(a.n_rows))
+    np.testing.assert_allclose(
+        np.asarray(df.mv(x)), a.to_scipy() @ np.asarray(x), rtol=1e-13
+    )
+
+    # NOT representable: perturb with irrational-ish values
+    s = a.to_scipy().astype(np.float64)
+    s.data = s.data * (1.0 + 1e-9) + np.pi * 1e-7
+    from tpusparse.sparse.csr import HostCSR
+
+    h = HostCSR.from_scipy(s.tocsr())
+    bands64, offs, shp = DIA.host_bands(h)
+    df2 = DFDIA.from_host_bands(bands64, offs, shp)
+    assert df2.lo is not None
+    y = np.asarray(df2.mv(x))
+    y_ref = s @ np.asarray(x)
+    err = np.abs(y - y_ref).max() / np.abs(y_ref).max()
+    assert err < 1e-12  # ~48-bit mantissa, far beyond plain f32 (~6e-8)
+    # and the f32-only product would NOT reach this
+    f32_err = np.abs(
+        np.asarray(DIA.from_csr(h, dtype=np.float32).mv(x.astype(jnp.float32)),
+                   np.float64) - y_ref
+    ).max() / np.abs(y_ref).max()
+    assert f32_err > 1e-9
+    assert df2.diagonal().dtype == jnp.float64

@@ -81,8 +81,9 @@ def test_geo_transfer_matches_factored():
     dinv = jnp.asarray(1.0 / a.diagonal())
     omega = jnp.asarray(0.7)
 
-    geo = GeoTransfer(
-        w=jnp.asarray(w), omega=omega, fine_shape=shape, bs=bs
+    geo = GeoTransfer.build(
+        w=jnp.asarray(w), omega=omega, fine_shape=shape, bs=bs,
+        dtype=jnp.float64,
     )
     fac = FactoredTransfer(
         agg=jnp.asarray(agg, jnp.int32), w=jnp.asarray(w), omega=omega,
@@ -147,3 +148,68 @@ def test_geometric_demand_rejects_non_grid():
         gamg_setup_unstructured(
             HostCSR.from_scipy(m), AMGParams(), aggregation="geometric"
         )
+
+
+def test_galerkin_probe_matches_scipy_ptap():
+    """On-device colored probing == host scipy P^T A P, band for band."""
+    import scipy.sparse as sp
+
+    from tpusparse.amg.geo import (
+        block_weight_field,
+        galerkin_probe_geo,
+        up3,
+    )
+
+    shape = (6, 5, 7)
+    n = int(np.prod(shape))
+    a, _, _ = assemble_poisson(Grid3D(shape[2], shape[1], shape[0]))
+    op = DIA.from_csr(a)
+    dinv_np = 1.0 / a.diagonal()
+    dinv = jnp.asarray(dinv_np)
+    omega = 0.71
+    bs = geo_block_sizes(shape, 3)
+    w_c = block_weight_field(shape, bs, np.float64)
+    tr = GeoTransfer.build(
+        w=up3(jnp.asarray(w_c.reshape(-1)), shape, bs),
+        omega=jnp.asarray(omega), fine_shape=shape, bs=bs,
+        dtype=jnp.float64,
+    )
+    coarse = galerkin_probe_geo(op, dinv, tr)
+
+    # host oracle
+    agg = geo_aggregate_ids(shape, bs)
+    n_c = int(agg.max()) + 1
+    sizes = np.bincount(agg, minlength=n_c).astype(np.float64)
+    t = sp.csr_matrix(
+        (1.0 / np.sqrt(sizes[agg]), (np.arange(n), agg)), shape=(n, n_c)
+    )
+    a_sp = a.to_scipy()
+    p = (t - omega * sp.diags(dinv_np) @ (a_sp @ t)).tocsr()
+    ac = (p.T @ (a_sp @ p)).tocsr()
+    got = coarse.to_scipy()
+    diff = abs(got - ac)
+    assert diff.max() < 1e-10 * abs(ac).max()
+
+
+def test_gamg_setup_geo_device_resident_solves():
+    """The device-resident geometric setup (no host coarse matrices)
+    produces a hierarchy that solves to discretization accuracy with
+    structured-class iteration counts."""
+    n = 30
+    a, b_np, exact = assemble_poisson(Grid3D(n, n, n))
+    tm = {}
+    hier = gamg_setup_unstructured(
+        a, AMGParams(), dtype=np.float32, timings=tm
+    )
+    assert all(type(l.op).__name__ == "DIA" for l in hier.levels)
+    assert tm.get("galerkin", 0) >= 0 and "device_put" in tm
+    b = jnp.asarray(b_np, jnp.float32)
+    res = cg(
+        lambda x: hier.levels[0].op.mv(x), b, rtol=1e-6, maxiter=100,
+        m_mv=lambda r: vcycle(hier, r),
+    )
+    assert int(res.reason) > 0 and int(res.iters) < 40
+    x = np.asarray(res.x, np.float64)
+    linf = np.abs(x - exact).max()
+    assert linf < 1e-2  # O(h^2) at 30^3 is ~7.2e-3 (the discretization
+    # limit itself: 7.3e-5 at 300^3 x (300/30)^2)

@@ -187,6 +187,7 @@ def gamg_setup_unstructured(
     device_format: str = "auto", max_offsets: int = 192,
     transfer_format: str = "auto", gather_row_cap: int | None = None,
     timings: dict | None = None, aggregation: str = "auto",
+    fine_op=None,
 ) -> Hierarchy:
     """Build a device Hierarchy from an arbitrary symmetric HostCSR.
 
@@ -241,6 +242,39 @@ def gamg_setup_unstructured(
                 "aggregation='geometric' but the sparsity pattern does not"
                 " reveal a 3-D grid (infer_grid3d); use 'auto' or 'greedy'"
             )
+        if (
+            geo_shape is not None
+            and transfer_format == "auto"
+            and device_format in ("auto", "dia")
+            and params.bjacobi_bs == 0
+        ):
+            # fully device-resident setup: upload the fine operator once,
+            # then aggregation = index arithmetic, transfers = reshapes,
+            # Galerkin = on-device colored probing, rho = on-device power
+            # iteration.  No host coarse matrices at all (the host PtAP
+            # measured 20 s at 200^3).
+            import time as _time2
+
+            from tpusparse.amg.geo import gamg_setup_geo
+
+            tm0 = {}
+            _t0 = _time2.perf_counter()
+            if fine_op is not None:
+                # caller already uploaded the fine container (e.g. the aij
+                # driver aliases it with the two-float outer operator) —
+                # zero duplicate transfer
+                if dtype is not None and fine_op.dtype != np.dtype(dtype):
+                    raise ValueError(
+                        f"fine_op dtype {fine_op.dtype} != requested {dtype}"
+                    )
+                op0 = fine_op
+            else:
+                op0 = DIA.from_csr(a, max_offsets=max_offsets, dtype=dtype)
+            tm0["device_put"] = _time2.perf_counter() - _t0
+            hier = gamg_setup_geo(op0, geo_shape, params, tm0)
+            if timings is not None:
+                timings.update(tm0)
+            return hier
 
     def make_op(h: HostCSR):
         if device_format in ("auto", "dia"):
@@ -394,7 +428,7 @@ def gamg_setup_unstructured(
             sizes = np.bincount(
                 agg, minlength=int(agg.max()) + 1
             ).astype(np.float64)
-            transfer = GeoTransfer(
+            transfer = GeoTransfer.build(
                 w=jnp.asarray(
                     1.0 / np.sqrt(sizes[agg]), lev_common["dinv"].dtype
                 ),

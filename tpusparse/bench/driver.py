@@ -210,6 +210,7 @@ def solve_poisson(
     ksp_gmres_restart: int = 30,
     mat_type: str = "stencil",
     aggregation: str = "auto",
+    extent: tuple[float, float, float] | None = None,
 ) -> SolveReport:
     """End-to-end solve with the reference's defaults
     (tolerances: configs/PETSc_SolverOptions_GAMG.info:1-4).
@@ -242,7 +243,7 @@ def solve_poisson(
             mg_cycle=mg_cycle, monitor=monitor, view=view,
             ksp_gmres_restart=ksp_gmres_restart,
             ksp_richardson_scale=ksp_richardson_scale,
-            aggregation=aggregation,
+            aggregation=aggregation, extent=extent,
         )
     if precision not in ("mixed", "tf", "f64", "f32"):
         raise ValueError(f"unknown precision {precision!r}")
@@ -263,7 +264,8 @@ def solve_poisson(
     float(jax.jit(lambda: jnp.zeros(()))())
 
     t0 = time.perf_counter()
-    grid = Grid3D(nx, ny, nz)
+    lx, ly, lz = extent or (1.0, 1.0, 1.0)
+    grid = Grid3D(nx, ny, nz, lx=lx, ly=ly, lz=lz)
     op, b, exact = poisson_stencil(grid, dtype=jnp.dtype(dtype).type)
     # low-precision twin for the inner solves (also the AMG's home dtype)
     op_lo = poisson_stencil(grid, dtype=np.float32)[0] if mixed else op
@@ -276,15 +278,25 @@ def solve_poisson(
     # TPU whenever the kernels support the shape.
     if layout not in ("auto", "padded", "plain"):
         raise ValueError(f"unknown layout {layout!r}")
-    if layout == "auto":
-        from tpusparse.kernels.stencil7 import is_tpu_backend, star7_supported
+    from tpusparse.kernels.stencil7 import is_tpu_backend, star7_supported
 
+    # multi-device twin of the fused path (dist/fused_sharded.py): the same
+    # kernels per z-shard under shard_map — "auto" takes it on TPU; an
+    # explicit layout="padded" takes it on any backend (interpret-mode
+    # kernels on CPU, which is how the virtual-mesh tests drive it)
+    fused_sh_ok = (
+        mixed and n_devices > 1 and pc == "gamg"
+        and grid.shape[0] % n_devices == 0
+    )
+    if layout == "auto":
         padded = (
             mixed and n_devices == 1 and is_tpu_backend()
             and star7_supported(grid.shape, np.float32)
         )
+        fused_sh = fused_sh_ok and is_tpu_backend()
     else:
         padded = mixed and n_devices == 1 and layout == "padded"
+        fused_sh = fused_sh_ok and layout == "padded"
     encode = decode = None
     if padded:
         from functools import partial as _partial
@@ -397,7 +409,13 @@ def solve_poisson(
             shard_system,
         )
 
-        mesh = make_mesh(n_devices)
+        if fused_sh:
+            # z-slab mesh: the layout the per-shard fused kernels need
+            from tpusparse.dist.fused_sharded import make_z_mesh
+
+            mesh = make_z_mesh(n_devices)
+        else:
+            mesh = make_mesh(n_devices)
         op, b, exact = shard_system(op, b, exact, mesh)
         if mixed:
             from tpusparse.dist.mesh import _put
@@ -411,6 +429,26 @@ def solve_poisson(
             pc_state = shard_hierarchy(pc_state, mesh)
         elif pc == "jacobi":
             pc_state = jax.device_put(pc_state, field_sharding(mesh))
+        if fused_sh and pc == "gamg":
+            from tpusparse.dist.fused_sharded import (
+                FusedSharded,
+                preflight_sharded,
+                vcycle_fused_sharded,
+            )
+
+            fs = FusedSharded.build(
+                op_lo, mesh, interpret=not is_tpu_backend()
+            )
+            if preflight_sharded(fs):
+                # ride the executor alongside the hierarchy through the
+                # jit boundary (never closed over: diag_st is a big array)
+                pc_state = (pc_state, fs)
+                m_of = lambda ps: (
+                    lambda r: vcycle_fused_sharded(
+                        ps[1], ps[0], r, gamma=gamma
+                    )
+                )
+            # else: keep the plain GSPMD cycle (kernel unsupported shape)
 
     op_hi = op_df if precision == "tf" else op
     jitted = jax.jit(solve_fn)
@@ -502,6 +540,7 @@ def _solve_poisson_aij(
     ksp_gmres_restart: int,
     ksp_richardson_scale: float,
     aggregation: str = "auto",
+    extent: tuple[float, float, float] | None = None,
 ) -> SolveReport:
     """The general-matrix driver: the manufactured Poisson system ASSEMBLED
     as an arbitrary host CSR (MATAIJ parity — the reference's actual matrix
@@ -545,9 +584,27 @@ def _solve_poisson_aij(
     float(jax.jit(lambda: jnp.zeros(()))())
 
     t0 = time.perf_counter()
-    grid = Grid3D(nx, ny, nz)
+    lx, ly, lz = extent or (1.0, 1.0, 1.0)
+    grid = Grid3D(nx, ny, nz, lx=lx, ly=ly, lz=lz)
     a, b_np, exact_np = assemble_poisson(grid, dtype=hi_dtype)
-    op_hi = DIA.from_csr(a)  # outer/defect-correction operator, hi dtype
+    if mixed:
+        # ONE f32 upload serves both precisions: the f32 bands are the
+        # hierarchy's fine operator AND the hi half of the two-float outer
+        # operator (DFDIA); the lo half uploads only if A is not exactly
+        # f32-representable.  A true-f64 band upload would cost 8 B/entry
+        # of transfer AND HBM traffic (1.5 GB at 300^3).
+        from tpusparse.sparse.dia import DFDIA
+
+        bands64, offsets_, shp = DIA.host_bands(a)
+        op_lo = DIA(
+            bands=jax.device_put(bands64.astype(np.float32)),
+            offsets=offsets_, shape=shp,
+        )
+        op_hi = DFDIA.from_host_bands(
+            bands64, offsets_, shp, hi_dev=op_lo.bands
+        )
+    else:
+        op_hi = op_lo = DIA.from_csr(a)
     b = jnp.asarray(b_np)
     exact = jnp.asarray(exact_np)
     float(jnp.vdot(b, b))  # sync (tunnel-safe)
@@ -560,6 +617,7 @@ def _solve_poisson_aij(
         pc_state = gamg_setup_unstructured(
             a, params, dtype=lo_dtype if mixed else None,
             timings=breakdown, aggregation=aggregation,
+            fine_op=op_lo,
         )
         op_lo = pc_state.levels[0].op
         m_of = lambda pc_state: (
@@ -568,11 +626,9 @@ def _solve_poisson_aij(
     elif pc == "jacobi":
         diag = jnp.asarray(a.diagonal(), lo_dtype if mixed else hi_dtype)
         pc_state = 1.0 / diag
-        op_lo = DIA.from_csr(a, dtype=lo_dtype) if mixed else op_hi
         m_of = lambda pc_state: (lambda r: pc_state * r)
     elif pc == "none":
         pc_state = jnp.zeros(())
-        op_lo = DIA.from_csr(a, dtype=lo_dtype) if mixed else op_hi
         m_of = lambda pc_state: None
     else:
         raise ValueError(f"unknown pc {pc!r}")

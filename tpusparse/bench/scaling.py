@@ -72,7 +72,19 @@ def run_strong(
 def run_weak(
     per_device: int, device_counts: list[int], rtol: float = 1e-8, **kw
 ) -> list[ScalingPoint]:
-    """Grow nz with the device count (z-major mesh) at fixed per-device box."""
+    """Grow nz/ny with the device count at fixed per-device box.
+
+    The PHYSICAL DOMAIN grows with the grid (extent = (1, py, pz) at
+    h = 1/per per axis) — the standard HPC weak-scaling protocol
+    (replicate the same physical subdomain per processor).  Growing the
+    grid on a FIXED [0,1]^3 domain instead (round 2's protocol) makes the
+    operator progressively anisotropic (hz/hx up to 4x at 8 devices), and
+    the isotropic 3^3 aggregation then loses mesh-independence — that, not
+    a communication effect, was the 21 -> 52 iteration growth flagged in
+    the round-2 review.  With constant h the iteration count stays flat
+    and the manufactured cosine solution remains valid (integer periods:
+    Neumann derivative is 0 at every boundary of an integer-length box).
+    """
     from tpusparse.bench.driver import solve_poisson
     from tpusparse.dist.mesh import _factor2
 
@@ -80,7 +92,10 @@ def run_weak(
     for d in device_counts:
         pz, py = _factor2(d)
         nx, ny, nz = per_device, per_device * py, per_device * pz
-        rep = solve_poisson(nx, ny, nz, rtol=rtol, n_devices=d, **kw)
+        rep = solve_poisson(
+            nx, ny, nz, rtol=rtol, n_devices=d,
+            extent=(1.0, float(py), float(pz)), **kw
+        )
         pts.append(
             ScalingPoint(
                 n_devices=d, nx=nx, ny=ny, nz=nz,
@@ -118,17 +133,30 @@ MODEL = {
     "fine_applies_per_iter": 7,
     # scalar reductions per CG iteration (alpha dot, r.z, ||r||)
     "psums_per_iter": 3,
+    # AMG levels whose halos the model charges beyond level 0.  Each level
+    # is 27x smaller but still exchanges planes; with the replicated-coarse
+    # policy only level 0 (sharded) has halos, and the fine/coarse seam
+    # pays one coarse-vector all-gather per cycle instead (charged below).
+    "sharded_levels": 1,
+    # coarsening ratio per level (3^3 aggregation)
+    "coarsen_ratio": 27,
 }
 
 
 def comm_model(pts: list[ScalingPoint], t_iter_1dev: float) -> list[dict]:
-    """Per-point halo volume + projected weak-scaling efficiency.
+    """Per-point communication volume + projected weak-scaling efficiency.
 
-    eff = t_compute / (t_compute + t_halo + t_latency), with t_compute held
-    at the measured single-device per-iteration time (weak scaling keeps
-    per-device work constant) and halo planes read off the (pz, py) field
-    sharding: each sharded axis exchanges one boundary plane per face per
-    fine apply (send+recv are counted once each — full duplex links).
+    eff = t_compute / (t_compute + t_halo + t_seam + t_latency), with
+    t_compute held at the measured single-device per-iteration time (weak
+    scaling keeps per-device work constant).  Traffic terms:
+
+    - fine halos: each sharded axis exchanges one boundary plane per face
+      per fine apply (full-duplex links, send+recv each counted once);
+    - **coarse seam** (round-2 review: previously uncharged): with coarse
+      levels replicated, every V-cycle's restrict must materialize the
+      level-1 vector on all devices — an all-gather of n/27 values — and
+      the replicated coarse solve's correction returns sharded for free
+      (local slice).  Charged as one coarse-vector transfer per cycle.
     """
     from tpusparse.dist.mesh import _factor2
 
@@ -143,18 +171,29 @@ def comm_model(pts: list[ScalingPoint], t_iter_1dev: float) -> list[dict]:
         faces_y = 2 if py > 1 else 0
         halo_per_apply = faces_z * plane_z + faces_y * plane_y
         halo_per_iter = halo_per_apply * MODEL["fine_applies_per_iter"]
+        # fine/coarse seam: ring all-gather moves (p-1)/p of the coarse
+        # vector through each link direction once per cycle
+        n_coarse = (p.nx * p.ny * p.nz) // MODEL["coarsen_ratio"]
+        seam_per_iter = int(
+            n_coarse * itemsize * (p.n_devices - 1) / max(p.n_devices, 1)
+        )
         t_halo = halo_per_iter / MODEL["ici_bytes_per_s"]
-        t_lat = MODEL["psums_per_iter"] * MODEL["psum_latency_s"]
+        t_seam = seam_per_iter / MODEL["ici_bytes_per_s"]
+        t_lat = (
+            MODEL["psums_per_iter"] + 1  # +1: the seam collective round
+        ) * MODEL["psum_latency_s"]
         if p.n_devices == 1:
-            t_halo = t_lat = 0.0
-        eff = t_iter_1dev / (t_iter_1dev + t_halo + t_lat)
+            t_halo = t_seam = t_lat = 0.0
+        eff = t_iter_1dev / (t_iter_1dev + t_halo + t_seam + t_lat)
         out.append(
             {
                 "n_devices": p.n_devices,
                 "mesh": [pz, py],
                 "halo_bytes_per_iter": int(halo_per_iter),
+                "coarse_seam_bytes_per_iter": seam_per_iter,
                 "psums_per_iter": MODEL["psums_per_iter"],
                 "t_halo_s": t_halo,
+                "t_seam_s": t_seam,
                 "t_latency_s": t_lat,
                 "projected_efficiency": eff,
             }
@@ -163,7 +202,12 @@ def comm_model(pts: list[ScalingPoint], t_iter_1dev: float) -> list[dict]:
 
 
 def efficiency(pts: list[ScalingPoint], weak: bool) -> dict[int, float]:
-    """Scaling efficiency vs the smallest device count in the sweep."""
+    """Scaling efficiency vs the smallest device count in the sweep.
+
+    Weak mode reports the nnz*iters/s rate efficiency (matching BASELINE's
+    metric); ``tts_efficiency`` below reports the TIME-TO-SOLUTION form
+    that does NOT credit iteration growth as useful work (round-2 review:
+    the rate metric alone can hide convergence regressions)."""
     base = pts[0]
     out = {}
     for p in pts:
@@ -173,6 +217,15 @@ def efficiency(pts: list[ScalingPoint], weak: bool) -> dict[int, float]:
         else:
             out[p.n_devices] = base.t_solve / (p.t_solve * scale)
     return out
+
+
+def tts_efficiency(pts: list[ScalingPoint]) -> dict[int, float]:
+    """Weak-scaling TIME-TO-SOLUTION efficiency: ideal weak scaling solves
+    the p-times-larger problem in the same wall time, so
+    eff = t_solve(base) / t_solve(p).  Iteration growth counts AGAINST
+    this metric (unlike the nnz-rate form)."""
+    base = pts[0]
+    return {p.n_devices: base.t_solve / p.t_solve for p in pts}
 
 
 def save_json(
@@ -185,6 +238,8 @@ def save_json(
         "points": [dataclasses.asdict(p) for p in pts],
         "efficiency": efficiency(pts, weak=(mode == "weak")),
     }
+    if mode == "weak":
+        rec["tts_efficiency"] = tts_efficiency(pts)
     if mode == "weak":
         # measured per-iteration compute time anchors the projection; on an
         # emulated mesh it is still a real single-process measurement

@@ -103,15 +103,22 @@ _TZ_LOADED = False
 
 
 def _toolchain_tag() -> str:
-    """Verdicts are toolchain-specific: stale spill verdicts from an older
-    jax/libtpu would silently disable (cached 0) or mis-size the kernels."""
+    """Verdicts are toolchain- AND kernel-version-specific: stale spill
+    verdicts from an older jax/libtpu OR an older version of this kernel
+    source would silently disable (cached 0) or mis-size the kernels."""
     try:
         import jaxlib
 
         lib = getattr(jaxlib, "__version__", "?")
     except Exception:
         lib = "?"
-    return f"jax{jax.__version__}-jaxlib{lib}"
+    try:
+        import hashlib
+
+        src = hashlib.sha1(open(__file__, "rb").read()).hexdigest()[:10]
+    except OSError:
+        src = "?"
+    return f"jax{jax.__version__}-jaxlib{lib}-src{src}"
 
 
 def _tz_cache_load():
@@ -249,9 +256,9 @@ def _pick_tz_mode(nz: int, ny: int, nx: int, mode: str) -> int:
 
 
 def _kernel(
-    coef_ref, p_hbm, d_hbm, b_hbm, dd_hbm, y_hbm, y2_hbm,
+    coef_ref, zref, p_hbm, d_hbm, b_hbm, dd_hbm, y_hbm, y2_hbm,
     ps, ds, bs, dds, ys, zp_buf, acc, sp, sd, sb, sdd, swb, sz,
-    *, mode, tz, nz, ny, nx, nyp, pinned,
+    *, mode, tz, nz, ny, nx, nyp, pinned, nzg,
 ):
     """Gridless pair-pipelined slab loop over 2-D row views.
 
@@ -280,6 +287,11 @@ def _kernel(
     s0 = coef_ref[5, 0]
     gw = coef_ref[6, 0]
     g2 = coef_ref[7, 0]
+    # global-z placement (sharded operation): this block owns GLOBAL domain
+    # planes [z0, z0 + nz) of a [0, nzg) grid; its z-face halo planes hold
+    # refreshed neighbor data (not out-of-domain zeros) unless they fall
+    # outside [0, nzg).  Single-device: z0 = 0, nzg = nz — identical masks.
+    z0 = zref[0, 0]
 
     one = jnp.ones((), jnp.float32)
     zero = jnp.zeros((), jnp.float32)
@@ -340,12 +352,15 @@ def _kernel(
         return (ii, rr % i32(nyp), rr // i32(nyp))
 
     def mask_dom(v, h, i):
-        """Zero everything outside the domain on an h-halo window —
+        """Zero everything outside the GLOBAL domain on an h-halo window —
         preserves both the pad-zero invariant and the Neumann boundary for
-        the NEXT chained stencil step."""
+        the NEXT chained stencil step.  Halo planes belonging to a
+        neighboring shard (0 <= kk + z0 < nzg but kk outside [0, nz)) are
+        KEPT: chained steps need their intermediate values there."""
         ii, jj, kk0 = iotas(h)
-        kk = i * i32(tz) + i32(-h) + kk0  # domain plane index
-        ok = (kk >= 0) & (kk < nz) & (jj < ny) & (ii < nx)
+        kk = i * i32(tz) + i32(-h) + kk0  # local domain plane index
+        kg = kk + z0
+        ok = (kg >= 0) & (kg < i32(nzg)) & (jj < ny) & (ii < nx)
         return jnp.where(ok, v, zero)
 
     def apply_a(u, center, h_out, i):
@@ -371,15 +386,16 @@ def _kernel(
             yp = jnp.where(jj < ny - 1, yp, zero)
             ym = jnp.where(jj > 0, ym, zero)
         if pinned:
-            kk = i * i32(tz) + i32(-h_out) + kk0
+            kg = i * i32(tz) + i32(-h_out) + kk0 + z0  # GLOBAL plane index
             # column-0 zeroing: only rows (0,0,1), (0,1,0), (1,0,0) read
-            # x[0,0,0] as a neighbor — mask exactly those reads
-            xm = jnp.where((kk == 0) & (jj == 0) & (ii == 1), zero, xm)
-            ym = jnp.where((kk == 0) & (jj == 1) & (ii == 0), zero, ym)
-            zm = jnp.where((kk == 1) & (jj == 0) & (ii == 0), zero, zm)
+            # x[0,0,0] as a neighbor — mask exactly those reads.  Global
+            # coordinates: only the shard owning plane 0 ever matches.
+            xm = jnp.where((kg == 0) & (jj == 0) & (ii == 1), zero, xm)
+            ym = jnp.where((kg == 0) & (jj == 1) & (ii == 0), zero, ym)
+            zm = jnp.where((kg == 1) & (jj == 0) & (ii == 0), zero, zm)
         w = center + cx * (xp + xm) + cy * (yp + ym) + cz * (zp + zm)
         if pinned:
-            origin = (kk == 0) & (jj == 0) & (ii == 0)
+            origin = (kg == 0) & (jj == 0) & (ii == 0)
             w = jnp.where(origin, center, w)
         return w
 
@@ -552,7 +568,9 @@ def _coef_smem(vals, dtype):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mode", "shape", "pinned", "interpret", "tz_override"),
+    static_argnames=(
+        "mode", "shape", "pinned", "interpret", "tz_override", "nzg"
+    ),
 )
 def fused7_call(
     mode: str,
@@ -567,6 +585,8 @@ def fused7_call(
     gw=0.0,
     g2=0.0,
     tz_override: int | None = None,
+    z0=0,
+    nzg: int | None = None,
 ):
     """Invoke one fused kernel.  All fields in the padded layout
     (``padded_shape(shape)``); pass ``x_p`` for unused operands (they are
@@ -577,6 +597,12 @@ def fused7_call(
     'restrict'; t for 'prolong'/'ascent'; ignored for 'pre2'/'descent' whose
     primary is ``b_p``); ``d_p`` is the Chebyshev d for 'cheb' and x1 for
     'ascent'.
+
+    Sharded operation (``dist/fused_sharded.py``): ``z0`` (traced i32) is
+    the GLOBAL index of this block's first domain plane and ``nzg``
+    (static) the global z extent; the block's z-face halo planes must then
+    hold refreshed neighbor values.  Defaults (0, shape[0]) reproduce the
+    single-device semantics exactly.
     """
     if mode not in MODES:
         raise ValueError(f"unknown mode {mode!r}")
@@ -592,6 +618,8 @@ def fused7_call(
         )
     f32 = jnp.float32
     coef = _coef_smem((cx, cy, cz, g, ad, s0, gw, g2), f32)
+    nzg = nz if nzg is None else int(nzg)
+    zinfo = jnp.asarray(z0, jnp.int32).reshape(1, 1)
     halos = _WINDOWS[mode]
     primary = b_p if mode in ("pre2", "descent") else x_p
     p2 = primary.reshape(nzp2 * nyp, nxp)
@@ -611,12 +639,13 @@ def fused7_call(
 
     kernel = functools.partial(
         _kernel, mode=mode, tz=tz, nz=nz, ny=ny, nx=nx, nyp=nyp,
-        pinned=pinned,
+        pinned=pinned, nzg=nzg,
     )
     outs = pl.pallas_call(
         kernel,
         in_specs=[
             pl.BlockSpec((8, 1), memory_space=pltpu.SMEM),  # scalars
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),  # z0 (global z)
             pl.BlockSpec(memory_space=pl.ANY),      # primary (HBM)
             pl.BlockSpec(memory_space=pl.ANY),      # diag (HBM)
             pl.BlockSpec(memory_space=pl.ANY),      # b (HBM)
@@ -648,7 +677,7 @@ def fused7_call(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(coef, p2, d2, b2, dd2)
+    )(coef, zinfo, p2, d2, b2, dd2)
     y = outs[0].reshape(nzp2, nyp, nxp)
     if mode == "mvdot":
         return y, jnp.sum(outs[1][0:8, :])
