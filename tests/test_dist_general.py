@@ -127,3 +127,99 @@ def test_sharded_unstructured_cg_gamg_iteration_parity():
     # manufactured-solution gate (Linf ~ O(h^2)), like the reference driver
     linf = float(jnp.max(jnp.abs(res8.x - exact)))
     assert linf < 5e-2
+
+
+def test_dist_dia_bands_span_multiple_shards():
+    """VERDICT r2 #5 gate: a matrix whose bands reach ACROSS two shards
+    (reach > rows/shard) — the multi-hop window exchange must reproduce
+    the single-device mv exactly."""
+    import scipy.sparse as sp
+
+    from tpusparse import HostCSR
+
+    n = 8 * 64  # 64 rows/shard on the 8-device mesh
+    rng = np.random.default_rng(5)
+    # bands at +-150: nearly 3 shards away
+    m = (
+        sp.diags(
+            [rng.standard_normal(n - 150), rng.standard_normal(n),
+             rng.standard_normal(n - 150), rng.standard_normal(n - 1),
+             rng.standard_normal(n - 1)],
+            [-150, 0, 150, 1, -1],
+        )
+    ).tocsr()
+    d = DIA.from_csr(HostCSR.from_scipy(m))
+    mesh = make_row_mesh(8)
+    dd = DistDIA.shard(d, mesh)
+    assert dd.halo > n // 8  # genuinely multi-hop
+    x = jnp.asarray(rng.standard_normal(n))
+    x_s = shard_vector(x, mesh)
+    np.testing.assert_allclose(
+        np.asarray(jax.jit(lambda a, v: a.mv(v))(dd, x_s)),
+        m @ np.asarray(x), rtol=1e-10, atol=1e-10,
+    )
+
+
+def test_dist_hybrid_dia_matches_host():
+    """DistHybridDIA: band window exchange + GSPMD remainder gather."""
+    import scipy.sparse as sp
+
+    from tpusparse import HostCSR
+
+    from tpusparse.dist.general import DistHybridDIA, _shard_ell_rows
+    from tpusparse.sparse.dia import HybridDIA
+
+    n = 8 * 48
+    rng = np.random.default_rng(6)
+    s = sp.random(n, n, density=0.02, random_state=7, format="csr")
+    s = (s + s.T + 10 * sp.identity(n)).tocsr()
+    h = HybridDIA.from_csr(HostCSR.from_scipy(s), max_bands=8)
+    assert h.rem is not None
+    mesh = make_row_mesh(8)
+    rows = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("rows")
+    )
+    dh = DistHybridDIA(
+        dia=DistDIA.shard(h.dia, mesh), rem=_shard_ell_rows(h.rem, rows)
+    )
+    x = jnp.asarray(rng.standard_normal(n))
+    x_s = shard_vector(x, mesh)
+    np.testing.assert_allclose(
+        np.asarray(jax.jit(lambda a, v: a.mv(v))(dh, x_s)),
+        s @ np.asarray(x), rtol=1e-9, atol=1e-9,
+    )
+
+
+def test_all_levels_sharded_hierarchy_parity():
+    """Every level above the replication threshold block-row-sharded
+    (DistDIA/DistHybridDIA), transfers sharded — iteration-for-iteration
+    parity with the single-device solve (VERDICT r2 #5)."""
+    a, b, exact = _system(24)
+    hier = gamg_setup_unstructured(
+        a, AMGParams(coarse_eq_limit=64), device_format="auto",
+    )
+    res1 = cg(hier.levels[0].op.mv, b, rtol=1e-8, maxiter=300,
+              m_mv=lambda r: vcycle(hier, r))
+    assert res1.converged()
+
+    mesh = make_row_mesh(8)
+    # tiny threshold: force EVERY divisible level to shard
+    hier_s = shard_unstructured_hierarchy(hier, mesh, min_shard_rows=1)
+    from tpusparse.dist.general import DistDIA as _DD, DistHybridDIA as _DH
+
+    n_sharded = sum(
+        isinstance(lev.op, (_DD, _DH)) for lev in hier_s.levels
+    )
+    assert n_sharded >= 2, [type(l.op).__name__ for l in hier_s.levels]
+    b_s = shard_vector(b, mesh)
+
+    def solve(h, b):
+        return cg(h.levels[0].op.mv, b, rtol=1e-8, maxiter=300,
+                  m_mv=lambda r: vcycle(h, r))
+
+    res8 = jax.jit(solve)(hier_s, b_s)
+    assert res8.converged()
+    assert int(res8.iters) == int(res1.iters)
+    np.testing.assert_allclose(
+        np.asarray(res8.x), np.asarray(res1.x), rtol=1e-8, atol=1e-10
+    )
