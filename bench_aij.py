@@ -1,0 +1,44 @@
+#!/usr/bin/env python
+"""General-matrix (arbitrary-CSR) benchmark sibling of bench.py.
+
+The same 300^3 Poisson system ASSEMBLED as a host CSR and solved through
+-mat_type aij (DMSetMatType(MATAIJ) parity — the matrix type the reference
+actually ships, solved by PETSc through its patched general-CSR kernel,
+/root/reference/src/openacc-step1/MatMult_SeqAIJ.patch).  Baseline: the
+reference's best node KSPSolve ~25-35 s (BASELINE.md; 30 s comparison
+point).
+
+Prints exactly one JSON line on stdout.
+"""
+
+import json
+import sys
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/tpusparse_xla")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+BASELINE_SOLVE_S = 30.0  # reference best-node KSPSolve, BASELINE.md table
+N = 300
+RTOL = 1e-8
+
+
+def main() -> None:
+    from tpusparse.bench.driver import solve_poisson
+
+    rep = solve_poisson(N, rtol=RTOL, atol=1e-12, pc="gamg", mat_type="aij")
+    result = {
+        "metric": f"poisson{N}_aij_cg_gamg_solve_s",
+        "value": round(rep.t_solve, 6),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_SOLVE_S / rep.t_solve, 3),
+    }
+    print(rep.reference_block(), file=sys.stderr)
+    print(rep.json_sidecar(), file=sys.stderr)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

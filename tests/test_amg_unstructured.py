@@ -114,9 +114,14 @@ def test_aij_driver_matches_stencil_driver():
         ref.linf_error, 1e-30
     ) or abs(rep.linf_error - ref.linf_error) < 1e-7
     assert rep.setup_breakdown is not None
-    assert set(rep.setup_breakdown) >= {
-        "aggregate", "galerkin", "rho", "device_put"
-    }
+    # single-dispatch compiled setup reports the build as one number;
+    # the host-galerkin fallback paths report per-phase detail
+    assert (
+        "hierarchy_build" in rep.setup_breakdown
+        or set(rep.setup_breakdown) >= {
+            "aggregate", "galerkin", "rho", "device_put"
+        }
+    )
     assert rep.t_init > 0 and rep.t_setup > 0 and rep.t_solve > 0
     # JSON sidecar carries the new fields
     import json

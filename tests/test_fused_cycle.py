@@ -87,3 +87,38 @@ def test_unsupported_falls_back():
         np.asarray(vcycle(hier, b_p)),
         rtol=0, atol=0,
     )
+
+
+@pytest.mark.parametrize("smoother", ["richardson", "chebyshev"])
+def test_fused_cycle_degree1_matches_plain(smoother):
+    """The degree-1 composite modes (descent1/ascent1 — the verbatim
+    reference config's Richardson(1) shape) must reproduce the plain
+    degree-1 V-cycle to f32 rounding."""
+    import numpy as np
+
+    from tpusparse.amg import AMGParams, gamg_setup, vcycle
+    from tpusparse.amg.fused_cycle import fused_fine_supported, vcycle_fused
+    from tpusparse.grid.grid3d import Grid3D
+    from tpusparse.grid.poisson import poisson_stencil
+    from tpusparse.sparse.padded import PaddedStar, pad_field
+
+    grid = Grid3D(12, 12, 12)
+    op, b, _ = poisson_stencil(grid, dtype=np.float32)
+    op_p = PaddedStar.from_star(op, backend="interpret")
+    hier = gamg_setup(
+        op_p, AMGParams(coarse_eq_limit=40, smoother=smoother, degree=1)
+    )
+    assert fused_fine_supported(hier)
+    hier_plain = gamg_setup(
+        op, AMGParams(coarse_eq_limit=40, smoother=smoother, degree=1)
+    )
+    b_p = pad_field(b.astype(jnp.float32))
+    z_f = np.asarray(vcycle_fused(hier, b_p), np.float64)
+    z_p = np.asarray(vcycle(hier_plain, b.astype(jnp.float32)), np.float64)
+    from tpusparse.sparse.padded import crop_field
+
+    z_f_c = np.asarray(
+        crop_field(jnp.asarray(z_f), grid.shape), np.float64
+    )
+    scale = np.abs(z_p).max()
+    assert np.abs(z_f_c - z_p).max() < 5e-5 * scale

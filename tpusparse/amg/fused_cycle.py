@@ -28,14 +28,23 @@ from tpusparse.sparse.padded import PaddedStar, PaddedTransfer
 
 
 def fused_fine_supported(hier: Hierarchy) -> bool:
-    """True when the level-0 configuration maps onto the fused kernels."""
+    """True when the level-0 configuration maps onto the fused kernels
+    (degree-2 composites, or the degree-1 variants for the verbatim
+    reference config's Richardson(1) smoother)."""
     lev = hier.levels[0]
     return (
         isinstance(lev.op, PaddedStar)
         and isinstance(lev.transfer, PaddedTransfer)
         and hier.smoother in ("chebyshev", "richardson")
-        and hier.degree == 2
+        and hier.degree in (1, 2)
         and jnp.dtype(lev.op.dtype) == jnp.float32
+    )
+
+
+def _modes(hier: Hierarchy) -> tuple[str, str]:
+    return (
+        ("descent", "ascent") if hier.degree == 2
+        else ("descent1", "ascent1")
     )
 
 
@@ -56,17 +65,24 @@ def preflight(hier: Hierarchy) -> bool:
 
     return all(
         preflight_tz(mode, op.true_shape, op.pinned) > 0
-        for mode in ("descent", "ascent")
+        for mode in _modes(hier)
     )
 
 
 def _fine_scalars(hier: Hierarchy, lev):
     """(s0, ad, g) smoother scalars: the degree-2 recurrence of
-    hierarchy._smooth expressed as one fused step each for pre and post."""
+    hierarchy._smooth expressed as one fused step each for pre and post.
+    Degree 1 uses only the g slot (one sweep: richardson damping, or
+    chebyshev's 1/theta)."""
     f32 = jnp.float32
     if hier.smoother == "richardson":
         w = hier.damping.astype(f32)
         return w, jnp.zeros((), f32), w
+    if hier.degree == 1:
+        rho = lev.rho.astype(f32)
+        theta = 0.5 * (hier.cheby_hi * rho + hier.cheby_lo * rho)
+        s0 = (1.0 / theta).astype(f32)
+        return s0, jnp.zeros((), f32), s0
     rho = lev.rho.astype(f32)
     lo = hier.cheby_lo * rho
     hi = hier.cheby_hi * rho
@@ -97,12 +113,13 @@ def vcycle_fused(hier: Hierarchy, b_p, gamma: int = 1):
     gw = inner.omega.astype(jnp.float32)
     shape = op.true_shape
     interpret = op.backend == "interpret"
+    d_mode, a_mode = _modes(hier)
     if op._use_pallas() and not interpret:
         from tpusparse.kernels.fused7 import _TZ_CACHE
 
         if any(
             _TZ_CACHE.get((m, tuple(shape))) == 0
-            for m in ("descent", "ascent")
+            for m in (d_mode, a_mode)
         ):
             # preflight proved no slab depth compiles for this shape
             return vcycle(hier, b_p, gamma=gamma)
@@ -124,7 +141,7 @@ def vcycle_fused(hier: Hierarchy, b_p, gamma: int = 1):
             )
 
     # downstroke: pre-smooth + residual + P^T-smoothing pass, fused
-    x1, s = call("descent", b_p, b_p, g, g)
+    x1, s = call(d_mode, b_p, b_p, g, g)
     r_c = tr.tT_apply_padded(s)
 
     e = vcycle(hier, r_c, level=1, gamma=gamma)
@@ -136,4 +153,7 @@ def vcycle_fused(hier: Hierarchy, b_p, gamma: int = 1):
     # upstroke: P smoothing + correction + post-smooth, fused (the transfer
     # einsums write the padded layout directly — no separate pad pass)
     t = tr.t_apply_padded(e)
-    return call("ascent", t, x1, s0, g)
+    if a_mode == "ascent1":
+        # degree-1 upstroke uses only the g slot (one post sweep)
+        return call(a_mode, t, x1, g, g)
+    return call(a_mode, t, x1, s0, g)

@@ -248,21 +248,33 @@ def down3(v: jax.Array, fine_shape, bs) -> jax.Array:
     )
 
 
+def _ax_sizes(s, b):
+    c = -(-s // b)
+    out = np.full(c, b, np.float64)
+    if s % b:
+        out[-1] = s % b
+    return out
+
+
 def block_weight_field(shape, bs, dtype=np.float32):
     """COARSE-sized array of 1/sqrt(|block|) (ragged edge blocks included).
     Tiny host build; the fine-sized w = upsample of this, done on device."""
-    def ax_sizes(s, b):
-        c = -(-s // b)
-        out = np.full(c, b, np.float64)
-        if s % b:
-            out[-1] = s % b
-        return out
-
-    sz = ax_sizes(shape[0], bs[0])
-    sy = ax_sizes(shape[1], bs[1])
-    sx = ax_sizes(shape[2], bs[2])
+    sz = _ax_sizes(shape[0], bs[0])
+    sy = _ax_sizes(shape[1], bs[1])
+    sx = _ax_sizes(shape[2], bs[2])
     sizes = sz[:, None, None] * sy[None, :, None] * sx[None, None, :]
     return (1.0 / np.sqrt(sizes)).astype(dtype)
+
+
+def block_weight_field_dev(shape, bs, dtype=jnp.float32):
+    """Device twin: outer product of three TINY per-axis constants —
+    trace-friendly (no fine/coarse-sized host constants baked into jitted
+    setup programs)."""
+    sz = jnp.asarray(_ax_sizes(shape[0], bs[0]), dtype)
+    sy = jnp.asarray(_ax_sizes(shape[1], bs[1]), dtype)
+    sx = jnp.asarray(_ax_sizes(shape[2], bs[2]), dtype)
+    sizes = sz[:, None, None] * sy[None, :, None] * sx[None, None, :]
+    return 1.0 / jnp.sqrt(sizes)
 
 
 def grid_reach(offsets, shape) -> tuple[int, int, int]:
@@ -416,7 +428,7 @@ def gamg_setup_geo(fine_op, shape, params, timings: dict | None = None):
             else jnp.zeros((), op.dtype)
         )
         _t0 = _time.perf_counter()
-        w_c = jnp.asarray(block_weight_field(shape, bs, op.dtype))
+        w_c = block_weight_field_dev(shape, bs, op.dtype)
         transfer = GeoTransfer.build(
             w=w_c.reshape(-1),  # placeholder; replaced by the fine field
             omega=omega,
@@ -432,7 +444,8 @@ def gamg_setup_geo(fine_op, shape, params, timings: dict | None = None):
         levels.append(Level(op=op, dinv=dinv, rho=rho, transfer=transfer))
         _t0 = _time.perf_counter()
         op = galerkin_probe_geo(op, dinv, transfer)
-        jax.block_until_ready(op.bands)
+        if timings is not None:
+            jax.block_until_ready(op.bands)
         tm["galerkin"] += _time.perf_counter() - _t0
         shape = coarse_dims(shape, bs)
 
@@ -447,3 +460,13 @@ def gamg_setup_geo(fine_op, shape, params, timings: dict | None = None):
         cheby_lo=params.cheby_lo,
         cheby_hi=params.cheby_hi,
     )
+
+
+@partial(jax.jit, static_argnames=("shape", "params"))
+def gamg_setup_geo_compiled(fine_op, shape, params):
+    """ONE-dispatch geometric setup: the whole device-resident hierarchy
+    build (rho, transfers, every Galerkin probe at every level) as a
+    single XLA program — eager per-level dispatches cost a tunnel round
+    trip each and dominated the measured aij t_setup (VERDICT r2 #3/#7).
+    Compile-cached per (shape, offsets, params)."""
+    return gamg_setup_geo(fine_op, tuple(shape), params, None)

@@ -138,12 +138,17 @@ def estimate_rho_dinv_a(
     return jnp.vdot(v, w)  # Rayleigh quotient (v normalized)
 
 
-def gamg_setup(fine_op, params: AMGParams = AMGParams()) -> Hierarchy:
+def gamg_setup(
+    fine_op, params: AMGParams = AMGParams(), timings: dict | None = None
+) -> Hierarchy:
     """Build the AMG hierarchy from the fine operator.
 
     Runs eagerly (once per matrix — KSPSetUp parity); every product is
-    computed on device via probing, nothing leaves HBM.
+    computed on device via probing, nothing leaves HBM.  ``timings``
+    receives a {"rho": s, "galerkin": s} sub-phase breakdown when passed.
     """
+    import time as _time
+
     if params.nsmooths not in (0, 1):
         raise ValueError("only nsmooths in {0, 1} supported")
     if params.smoother not in ("richardson", "chebyshev"):
@@ -153,6 +158,7 @@ def gamg_setup(fine_op, params: AMGParams = AMGParams()) -> Hierarchy:
             "bjacobi_bs needs an assembled CSR — use the unstructured path"
             " (amg.unstructured.gamg_setup_unstructured)"
         )
+    tm = {"rho": 0.0, "galerkin": 0.0}
     levels: list[Level] = []
     op = fine_op
     while True:
@@ -167,10 +173,16 @@ def gamg_setup(fine_op, params: AMGParams = AMGParams()) -> Hierarchy:
         )
         true = getattr(op, "true_shape", None)
         padded = true is not None and tuple(true) != tuple(dinv.shape)
+        _t0 = _time.perf_counter()
         rho = estimate_rho_dinv_a(
             op, dinv, params.rho_iters,
             true_shape=tuple(true) if padded else None,
         ) * params.rho_safety
+        if timings is not None:  # sync only when instrumenting (the sync
+            # itself costs a tunnel round trip; gamg_setup_compiled traces
+            # this whole function, where syncing would be meaningless)
+            jax.block_until_ready(rho)
+        tm["rho"] += _time.perf_counter() - _t0
         if last:
             levels.append(Level(op=op, dinv=dinv, rho=rho, transfer=None))
             break
@@ -187,7 +199,13 @@ def gamg_setup(fine_op, params: AMGParams = AMGParams()) -> Hierarchy:
         if isinstance(op, PaddedStar):
             transfer = PaddedTransfer(inner=transfer)
         levels.append(Level(op=op, dinv=dinv, rho=rho, transfer=transfer))
+        _t0 = _time.perf_counter()
         op = galerkin_coarse(op, dinv, transfer)
+        if timings is not None:
+            jax.block_until_ready(jax.tree.leaves(op)[0])
+        tm["galerkin"] += _time.perf_counter() - _t0
+    if timings is not None:
+        timings.update(tm)
     return Hierarchy(
         levels=levels,
         damping=jnp.asarray(params.smooth_damping, levels[0].dinv.dtype),
@@ -196,6 +214,21 @@ def gamg_setup(fine_op, params: AMGParams = AMGParams()) -> Hierarchy:
         cheby_lo=params.cheby_lo,
         cheby_hi=params.cheby_hi,
     )
+
+
+@partial(jax.jit, static_argnames=("params",))
+def gamg_setup_compiled(fine_op, params: AMGParams = AMGParams()):
+    """ONE-dispatch hierarchy build: the whole setup loop (rho power
+    iterations, Galerkin probing, transfer builds, every level) traced
+    into a single XLA program.
+
+    Why: ``gamg_setup`` run eagerly issues 2+ device dispatches per level
+    plus syncs; on a tunneled runtime each round trip costs ~0.3 s, and
+    the measured steady-state t_setup was ~5.7 s at 300^3 of which most
+    was dispatch latency, not compute (VERDICT r2 #7).  As one compiled
+    program the same work is a single round trip.  The program is
+    compile-cached per (shape, params)."""
+    return gamg_setup(fine_op, params)
 
 
 def hierarchy_summary(hier: Hierarchy) -> str:

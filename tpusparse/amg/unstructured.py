@@ -255,7 +255,7 @@ def gamg_setup_unstructured(
             # measured 20 s at 200^3).
             import time as _time2
 
-            from tpusparse.amg.geo import gamg_setup_geo
+            from tpusparse.amg.geo import gamg_setup_geo_compiled
 
             tm0 = {}
             _t0 = _time2.perf_counter()
@@ -271,7 +271,13 @@ def gamg_setup_unstructured(
             else:
                 op0 = DIA.from_csr(a, max_offsets=max_offsets, dtype=dtype)
             tm0["device_put"] = _time2.perf_counter() - _t0
-            hier = gamg_setup_geo(op0, geo_shape, params, tm0)
+            _t0 = _time2.perf_counter()
+            # single-dispatch setup: the whole device-resident build is one
+            # compiled program (per-level eager dispatches cost a tunnel
+            # round trip each)
+            hier = gamg_setup_geo_compiled(op0, tuple(geo_shape), params)
+            jax.block_until_ready(hier.levels[-1].rho)
+            tm0["hierarchy_build"] = _time2.perf_counter() - _t0
             if timings is not None:
                 timings.update(tm0)
             return hier

@@ -317,8 +317,17 @@ def solve_poisson(
     if mg_cycle not in ("v", "w"):
         raise ValueError(f"unknown mg_cycle {mg_cycle!r}")
     gamma = 1 if mg_cycle == "v" else 2
+    breakdown: dict = {}
     if pc == "gamg":
-        pc_state = gamg_setup(op_lo, amg_params or AMGParams())
+        # ONE-dispatch compiled setup (gamg_setup_compiled): the whole
+        # hierarchy build as a single XLA program — eager per-level
+        # dispatches cost a tunnel round trip each and dominated t_setup
+        from tpusparse.amg.hierarchy import gamg_setup_compiled
+
+        _t0 = time.perf_counter()
+        pc_state = gamg_setup_compiled(op_lo, amg_params or AMGParams())
+        jax.block_until_ready(pc_state.levels[-1].rho)
+        breakdown["hierarchy_build"] = round(time.perf_counter() - _t0, 4)
         if pc_dtype == "bf16" and not padded:
             # bf16 V-cycle: half the preconditioner's HBM traffic.  Measured
             # trade-off is SIZE-DEPENDENT: +2 CG iterations at 96^3 (net
@@ -346,7 +355,10 @@ def solve_poisson(
             # halve the operator-data traffic of the coarse levels (safe:
             # vectors stay f32 — measured same iterations, -7% solve time)
             pc_state = cast_coarse_coefs(pc_state)
-            if preflight(pc_state):
+            _t0 = time.perf_counter()
+            ok = preflight(pc_state)
+            breakdown["preflight"] = round(time.perf_counter() - _t0, 4)
+            if ok:
                 m_of = lambda pc_state: (
                     lambda r: vcycle_fused(pc_state, r, gamma=gamma)
                 )
@@ -516,6 +528,9 @@ def solve_poisson(
         outer_iters=int(getattr(res, "outer_iters", 0)),
         residual_history=history,
         solver_view=view_text,
+        setup_breakdown={
+            k: round(v, 4) for k, v in breakdown.items()
+        } or None,
     )
 
 

@@ -86,8 +86,13 @@ _WINDOWS = {
     "prolong": {"p": 1, "diag": 0},          # p = t
     "descent": {"p": 3, "diag": 3},          # p = b
     "ascent": {"p": 3, "diag": 2, "b": 1, "d": 2},  # p = t, d = x1
+    # degree-1 smoother variants (the verbatim reference config:
+    # -mg_levels_ksp_type richardson -mg_levels_ksp_max_it 1): one
+    # pre/post sweep, 2 chained stencils per launch
+    "descent1": {"p": 2, "diag": 2},         # p = b
+    "ascent1": {"p": 2, "diag": 1, "b": 0, "d": 1},  # p = t, d = x1
 }
-_TWO_OUT = {"cheb0", "cheb", "pre2", "descent"}
+_TWO_OUT = {"cheb0", "cheb", "pre2", "descent", "descent1"}
 MODES = tuple(_WINDOWS)
 
 
@@ -228,7 +233,7 @@ def _pick_tz_mode(nz: int, ny: int, nx: int, mode: str) -> int:
     cached = _TZ_CACHE.get((mode, (nz, ny, nx)))
     if cached:
         return cached
-    if mode not in ("descent", "ascent", "pre2"):
+    if mode not in ("descent", "ascent", "pre2", "descent1", "ascent1"):
         return _pick_tz(nz)
     from tpusparse.kernels.stencil7 import _pad_to
 
@@ -239,7 +244,7 @@ def _pick_tz_mode(nz: int, ny: int, nx: int, mode: str) -> int:
     # live-temporary window count, calibrated on the v5e at 300^3:
     # descent compiles at tz=10 and OOMs at 12; ascent (deeper chain, four
     # buffered operands) compiles at tz=6 and OOMs at 10
-    temps = 12 if mode == "ascent" else 8
+    temps = 12 if mode in ("ascent", "ascent1") else 8
     best = 0
     for tz in range(2, nz + 1):
         if nz % tz or nz // tz < 2:
@@ -466,6 +471,33 @@ def _kernel(
             w3 = apply_a(u1, win(r1, 1, 0), 0, i)    # diag*(D^-1 r) == r
             s_ = mask_dom(win(r1, 1, 0) - gw * w3, 0, i)
             return (win(x1_2, 2, 0), s_)
+        if mode == "descent1":
+            # degree-1 downstroke: pre-smooth(1) + residual + P^T smoothing
+            b2, diag2 = p, diag
+            dinv2 = one / diag2
+            x1_2 = mask_dom(g * (b2 * dinv2), 2, i)   # one Richardson sweep
+            w1 = apply_a(x1_2, win(diag2, 2, 1) * win(x1_2, 2, 1), 1, i)
+            r1 = mask_dom(win(b2, 2, 1) - w1, 1, i)
+            u1 = r1 * (one / win(diag2, 2, 1))
+            w2 = apply_a(u1, win(r1, 1, 0), 0, i)     # diag*(D^-1 r) == r
+            s_ = mask_dom(win(r1, 1, 0) - gw * w2, 0, i)
+            return (win(x1_2, 2, 0), s_)
+        if mode == "ascent1":
+            # degree-1 upstroke: P smoothing + correction + post-smooth(1)
+            t2, diag1 = p, diag
+            x1_1 = dds[jnp.int32(buf)]
+            b0 = bs[jnp.int32(buf)]
+            wt = apply_a(t2, win(diag1, 1, 1) * win(t2, 2, 1), 1, i)
+            x2_1 = mask_dom(
+                x1_1 + win(t2, 2, 1)
+                - gw * ((one / win(diag1, 1, 1)) * wt), 1, i
+            )
+            w1 = apply_a(x2_1, win(diag1, 1, 0) * win(x2_1, 1, 0), 0, i)
+            x3 = mask_dom(
+                win(x2_1, 1, 0)
+                + g * ((one / win(diag1, 1, 0)) * (b0 - w1)), 0, i
+            )
+            return (x3,)
         if mode == "ascent":
             t3, diag2 = p, diag
             x1_2 = dds[jnp.int32(buf)]
@@ -621,7 +653,7 @@ def fused7_call(
     nzg = nz if nzg is None else int(nzg)
     zinfo = jnp.asarray(z0, jnp.int32).reshape(1, 1)
     halos = _WINDOWS[mode]
-    primary = b_p if mode in ("pre2", "descent") else x_p
+    primary = b_p if mode in ("pre2", "descent", "descent1") else x_p
     p2 = primary.reshape(nzp2 * nyp, nxp)
     d2 = diag_p.reshape(nzp2 * nyp, nxp)
     b2 = (b_p if "b" in halos else primary).reshape(nzp2 * nyp, nxp)
@@ -724,6 +756,15 @@ def fused7_xla(mode, op, x_p, b_p, d_p, g, ad, s0, gw=0.0, g2=0.0):
         r = b_p - op.mv(x1)
         s = r - gw * op.mv(dinv * r)
         return x1, s
+    if mode == "descent1":
+        x1 = g * (dinv * b_p)
+        r = b_p - op.mv(x1)
+        s = r - gw * op.mv(dinv * r)
+        return x1, s
+    if mode == "ascent1":
+        t, x1 = x_p, d_p
+        x2 = x1 + t - gw * (dinv * op.mv(t))
+        return x2 + g * (dinv * (b_p - op.mv(x2)))
     if mode == "ascent":
         t, x1 = x_p, d_p
         x2 = x1 + t - gw * (dinv * op.mv(t))
