@@ -232,10 +232,16 @@ def gamg_setup_unstructured(
     if aggregation in ("auto", "geometric"):
         from tpusparse.amg.geo import infer_grid3d
 
-        rows_ = np.repeat(
-            np.arange(a.n_rows, dtype=np.int64), np.diff(a.indptr)
-        )
-        offs_ = np.unique(a.indices.astype(np.int64) - rows_)
+        if fine_op is not None and hasattr(fine_op, "offsets"):
+            # the caller's DIA container already knows the occupied
+            # diagonals — recomputing them walks 2*nnz int64 ops (~7 s at
+            # 300^3 of pure host time)
+            offs_ = np.asarray(fine_op.offsets, np.int64)
+        else:
+            rows_ = np.repeat(
+                np.arange(a.n_rows, dtype=np.int64), np.diff(a.indptr)
+            )
+            offs_ = np.unique(a.indices.astype(np.int64) - rows_)
         geo_shape = infer_grid3d(tuple(offs_.tolist()), a.n_rows)
         if geo_shape is None and aggregation == "geometric":
             raise ValueError(

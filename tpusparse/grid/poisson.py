@@ -35,15 +35,16 @@ def exact_field(grid: Grid3D, dtype=np.float64) -> np.ndarray:
 
     Parity: ``generateExt`` (src/helper.cpp:120-157). Shape (nz, ny, nx).
     """
-    cx = np.cos(C1 * grid.cell_centers("x", dtype))
-    cy = np.cos(C1 * grid.cell_centers("y", dtype))
-    cz = np.cos(C1 * grid.cell_centers("z", dtype))
-    return (cz[:, None, None] * cy[None, :, None] * cx[None, None, :]).astype(dtype)
+    cx = np.cos(C1 * grid.cell_centers("x", dtype)).astype(dtype)
+    cy = np.cos(C1 * grid.cell_centers("y", dtype)).astype(dtype)
+    cz = np.cos(C1 * grid.cell_centers("z", dtype)).astype(dtype)
+    # one broadcast product pass (an .astype here would copy 216 MB again)
+    return cz[:, None, None] * cy[None, :, None] * cx[None, None, :]
 
 
 def rhs_field(grid: Grid3D, dtype=np.float64) -> np.ndarray:
     """f = -12 pi^2 * exact. Parity: ``generateRHS`` (src/helper.cpp:78-116)."""
-    return (dtype(C2) * exact_field(grid, dtype)).astype(dtype)
+    return dtype(C2) * exact_field(grid, dtype)
 
 
 def _neighbor_masks_and_coeffs(grid: Grid3D, dtype):
@@ -55,17 +56,20 @@ def _neighbor_masks_and_coeffs(grid: Grid3D, dtype):
     ay = dtype(1.0 / (grid.dy * grid.dy))
     az = dtype(1.0 / (grid.dz * grid.dz))
 
-    K, J, I = np.meshgrid(
-        np.arange(nz), np.arange(ny), np.arange(nx), indexing="ij"
-    )
+    # broadcastable index vectors — meshgrid would COPY three full fields
+    K = np.arange(nz)[:, None, None]
+    J = np.arange(ny)[None, :, None]
+    I = np.arange(nx)[None, None, :]
+    ones = np.ones((nz, ny, nx), bool)
+    bc = lambda m: m & ones  # materialize (nz,ny,nx) in one pass
     # (name, valid mask (nz,ny,nx), flat col offset, coefficient)
     return [
-        ("k-1", K > 0, -ny * nx, az),
-        ("j-1", J > 0, -nx, ay),
-        ("i-1", I > 0, -1, ax),
-        ("i+1", I < nx - 1, +1, ax),
-        ("j+1", J < ny - 1, +nx, ay),
-        ("k+1", K < nz - 1, +ny * nx, az),
+        ("k-1", bc(K > 0), -ny * nx, az),
+        ("j-1", bc(J > 0), -nx, ay),
+        ("i-1", bc(I > 0), -1, ax),
+        ("i+1", bc(I < nx - 1), +1, ax),
+        ("j+1", bc(J < ny - 1), +nx, ay),
+        ("k+1", bc(K < nz - 1), +ny * nx, az),
     ]
 
 
@@ -84,25 +88,27 @@ def assemble_poisson(
     n = grid.n
     nbrs = _neighbor_masks_and_coeffs(grid, dtype)
 
-    rows = np.arange(n, dtype=np.int64)
-    # per-row entries in sorted column order: 3 lower nbrs, diag, 3 upper nbrs
+    # per-row entries in sorted column order: 3 lower nbrs, diag, 3 upper
+    # nbrs.  Built in few whole-array passes (columnwise strided writes +
+    # per-slot np.where temps measured ~2x the assembly time at 300^3).
     w = 7
-    cols = np.zeros((n, w), dtype=np.int64)
-    vals = np.zeros((n, w), dtype=dtype)
-    mask = np.zeros((n, w), dtype=bool)
-
-    diag = np.zeros(n, dtype=dtype)
     slots = [0, 1, 2, 4, 5, 6]  # slot 3 = diagonal
-    for (name, valid, off, coef), s in zip(nbrs, slots):
-        v = valid.reshape(-1)
-        cols[:, s] = rows + off
-        vals[:, s] = np.where(v, coef, dtype(0))
-        mask[:, s] = v
-        # all-Neumann: diagonal = -(sum of coefficients of *existing* nbrs)
-        diag -= np.where(v, coef, dtype(0))
-    cols[:, 3] = rows
-    vals[:, 3] = diag
+    offs = np.zeros(w, np.int64)
+    coefs = np.zeros(w, dtype)
+    mask = np.empty((n, w), dtype=bool)
     mask[:, 3] = True
+    for (name, valid, off, coef), s in zip(nbrs, slots):
+        mask[:, s] = valid.reshape(-1)
+        offs[s] = off
+        coefs[s] = coef
+    idx_dtype = np.int32 if n < 2 ** 31 - 1 else np.int64
+    rows = np.arange(n, dtype=idx_dtype)
+    cols = rows[:, None] + offs.astype(idx_dtype)[None, :]
+    vals = np.where(mask, coefs[None, :], dtype(0))
+    # all-Neumann: diagonal = -(sum of coefficients of *existing* nbrs);
+    # coefs[3] is 0 so summing the whole row is the neighbor sum
+    diag = -vals.sum(axis=1)
+    vals[:, 3] = diag
 
     exact = exact_field(grid, dtype).reshape(-1)
     b = rhs_field(grid, dtype).reshape(-1)
@@ -114,13 +120,17 @@ def assemble_poisson(
         #   b[i] -= A[i,0] * exact[0]  for i != 0 with a column entry at 0
         #   b[0]  = scale * exact[0]
         #   row 0 and column 0 zeroed; A[0,0] = scale
-        col0 = cols == 0
-        b -= (np.where(col0 & mask, vals, dtype(0)).sum(axis=1)) * exact[0]
+        # Only rows r with r + offs[s] == 0 can hold a column-0 entry — a
+        # HANDFUL of direct updates, not a full (n, 7) scan (the scan
+        # measured ~13 s at 300^3 on this host).
+        for s in range(w):
+            r = -int(offs[s])
+            if 0 <= r < n and s != 3 and mask[r, s]:
+                b[r] -= vals[r, s] * exact[0]
+                mask[r, s] = False
+                vals[r, s] = dtype(0)
         mask[0, :] = False
         vals[0, :] = dtype(0)
-        # zero the column entries pointing at 0 (drop from pattern)
-        mask &= ~col0
-        vals = np.where(col0, dtype(0), vals)
         # restore pinned diagonal
         cols[0, 3] = 0
         vals[0, 3] = scale
@@ -130,10 +140,15 @@ def assemble_poisson(
     row_nnz = mask.sum(axis=1).astype(np.int64)
     indptr = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(row_nnz, out=indptr[1:])
+    # one flat index set reused for both compressions (boolean fancy
+    # indexing on the f64 array measured 2-3x slower than take-by-index)
+    flat = np.flatnonzero(mask.ravel())
     a = HostCSR(
         indptr=indptr,
-        indices=cols[mask].astype(np.int32),
-        data=vals[mask],
+        indices=np.ascontiguousarray(
+            cols.ravel()[flat], dtype=np.int32
+        ),
+        data=vals.ravel()[flat],
         shape=(n, n),
     )
     return a, b, exact
