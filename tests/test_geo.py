@@ -109,7 +109,7 @@ def test_geo_hierarchy_solves_and_is_pure_dia():
     a, b_np, exact = assemble_poisson(Grid3D(n, n, n))
     hier = gamg_setup_unstructured(a, AMGParams(), dtype=np.float32)
     for lev in hier.levels:
-        assert type(lev.op).__name__ == "DIA"
+        assert type(lev.op).__name__ in ("DIA", "GridDIA")
     for lev in hier.levels[:-1]:
         assert isinstance(lev.transfer, GeoTransfer)
     b = jnp.asarray(b_np, jnp.float32)
@@ -201,7 +201,9 @@ def test_gamg_setup_geo_device_resident_solves():
     hier = gamg_setup_unstructured(
         a, AMGParams(), dtype=np.float32, timings=tm
     )
-    assert all(type(l.op).__name__ == "DIA" for l in hier.levels)
+    assert all(
+        type(l.op).__name__ in ("DIA", "GridDIA") for l in hier.levels
+    )
     assert tm.get("galerkin", 0) >= 0 and "device_put" in tm
     b = jnp.asarray(b_np, jnp.float32)
     res = cg(
@@ -213,3 +215,74 @@ def test_gamg_setup_geo_device_resident_solves():
     linf = np.abs(x - exact).max()
     assert linf < 1e-2  # O(h^2) at 30^3 is ~7.2e-3 (the discretization
     # limit itself: 7.3e-5 at 300^3 x (300/30)^2)
+
+
+def test_griddia_matches_flat_dia():
+    """3-D field-shift mv == flat-shift mv, bit-for-bit in f64, including
+    all grid edges (the wrap positions where the semantics COULD differ
+    are validated zero)."""
+    from tpusparse.sparse.dia import DIA
+    from tpusparse.sparse.griddia import GridDIA, host_grid_view
+
+    shape = (6, 5, 7)
+    a, _, _ = assemble_poisson(Grid3D(shape[2], shape[1], shape[0]))
+    bands, offs, shp = DIA.host_bands(a)
+    d3s = host_grid_view(bands, offs, shape)
+    assert d3s is not None
+    import jax
+
+    d = DIA.from_csr(a)
+    g = GridDIA(bands=d.bands, offsets=offs, d3s=d3s, grid_shape=shape)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(a.n_rows))
+    np.testing.assert_array_equal(
+        np.asarray(g.mv(x)), np.asarray(d.mv(x))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(g.diagonal()), np.asarray(d.diagonal())
+    )
+
+    # a wrap-violating matrix must be REJECTED (flat entry (nx-1 -> next
+    # row) has offset +1 but is not a grid coupling)
+    import scipy.sparse as sp
+
+    n = int(np.prod(shape))
+    bad = a.to_scipy().tolil()
+    r = shape[2] - 1  # x-edge cell (0,0,nx-1)
+    bad[r, r + 1] = 99.0  # wraps to (0,1,0)
+    from tpusparse import HostCSR
+
+    bands_b, offs_b, _ = DIA.host_bands(HostCSR.from_scipy(bad.tocsr()))
+    assert host_grid_view(bands_b, offs_b, shape) is None
+
+
+def test_geo_hierarchy_with_griddia_fine_level_solves():
+    """GridDIA (3-D-view container) as the FINE level solves identically —
+    it is a correct, tested container even though production keeps the
+    flat form (measured slower on the v5e; small-shape coarse instances
+    also trip an XLA composition miscompile — sparse/griddia.py notes)."""
+    from tpusparse.sparse.dia import DIA
+    from tpusparse.sparse.griddia import GridDIA, host_grid_view
+
+    n = 24
+    a, b_np, exact = assemble_poisson(Grid3D(n, n, n))
+    bands, offs, shp = DIA.host_bands(a, dtype=np.float32)
+    d3s = host_grid_view(bands, offs, (n, n, n))
+    fine = GridDIA(
+        bands=jnp.asarray(bands), offsets=offs, d3s=d3s,
+        grid_shape=(n, n, n),
+    )
+    hier = gamg_setup_unstructured(
+        a, AMGParams(), dtype=np.float32, fine_op=fine
+    )
+    assert isinstance(hier.levels[0].op, GridDIA)
+    b = jnp.asarray(b_np, jnp.float32)
+    import jax as _jax
+
+    res = _jax.jit(
+        lambda h, b: cg(
+            lambda x: h.levels[0].op.mv(x), b, rtol=1e-6, maxiter=100,
+            m_mv=lambda r: vcycle(h, r),
+        )
+    )(hier, b)
+    assert int(res.reason) > 0 and int(res.iters) < 40

@@ -371,11 +371,16 @@ def galerkin_probe_geo(fine_op, dinv, transfer: GeoTransfer, dtype=None):
         )
 
     bands = probe_all(fine_op, dinv, transfer).reshape(len(d3s), nc)
-    # sort offsets ascending (DIA convention)
+    # sort offsets ascending (DIA convention).  Coarse levels stay FLAT
+    # DIA deliberately: their mv cost is negligible (27-64x fewer rows),
+    # and a small-shape GridDIA inside a jitted CG while_loop was observed
+    # to make the whole solve stall on XLA:CPU (individually-exact mv;
+    # composition-level miscompile class — see sparse/griddia.py).  The
+    # 3-D view is reserved for the FINE level, where the bandwidth lives.
     order = np.argsort(offsets)
     return DIA(
         bands=bands[np.asarray(order)],
-        offsets=tuple(offsets[i] for i in order),
+        offsets=tuple(int(offsets[i]) for i in order),
         shape=(nc, nc),
     )
 

@@ -275,6 +275,8 @@ def gamg_setup_unstructured(
                     )
                 op0 = fine_op
             else:
+                # flat DIA: the 3-D grid-view form (sparse/griddia.py) was
+                # measured slower on the v5e and is not production
                 op0 = DIA.from_csr(a, max_offsets=max_offsets, dtype=dtype)
             tm0["device_put"] = _time2.perf_counter() - _t0
             _t0 = _time2.perf_counter()

@@ -611,12 +611,15 @@ def _solve_poisson_aij(
         from tpusparse.sparse.dia import DFDIA
 
         bands64, offsets_, shp = DIA.host_bands(a)
-        op_lo = DIA(
-            bands=jax.device_put(bands64.astype(np.float32)),
-            offsets=offsets_, shape=shp,
-        )
+        bands32_dev = jax.device_put(bands64.astype(np.float32))
+        # NOTE: the 3-D grid-view container (sparse/griddia.py) was
+        # measured SLOWER on the v5e (20.4 vs 13.0 ms per 7-band apply at
+        # 300^3 — the non-tile-aligned field views relayout worse than the
+        # flat shifts) and a small-shape variant miscompiles inside jitted
+        # CG; production keeps the FLAT form (results/README.md trail).
+        op_lo = DIA(bands=bands32_dev, offsets=offsets_, shape=shp)
         op_hi = DFDIA.from_host_bands(
-            bands64, offsets_, shp, hi_dev=op_lo.bands
+            bands64, offsets_, shp, hi_dev=bands32_dev,
         )
     else:
         op_hi = op_lo = DIA.from_csr(a)

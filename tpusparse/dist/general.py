@@ -252,6 +252,7 @@ def shard_unstructured_hierarchy(
     from tpusparse.amg.geo import GeoTransfer
     from tpusparse.amg.unstructured import FactoredTransfer
     from tpusparse.sparse.dia import HybridDIA
+    from tpusparse.sparse.griddia import GridDIA
 
     rep = NamedSharding(mesh, P())
     rows = NamedSharding(mesh, P(ROW_AXIS))
@@ -259,7 +260,7 @@ def shard_unstructured_hierarchy(
     put_rep = lambda t: jax.tree.map(lambda v: jax.device_put(v, rep), t)
 
     lev0 = hier.levels[0]
-    if not isinstance(lev0.op, DIA):
+    if not isinstance(lev0.op, (DIA, GridDIA)):
         raise ValueError(
             "shard_unstructured_hierarchy needs DIA level-0 operators"
             " (gamg_setup_unstructured(device_format='dia'))"
@@ -274,6 +275,8 @@ def shard_unstructured_hierarchy(
         return n % p == 0 and n // p >= min_shard_rows
 
     def shard_op(op):
+        if isinstance(op, GridDIA):
+            op = op.to_dia()  # block-row exchange runs on the flat view
         if isinstance(op, DIA):
             return DistDIA.shard(op, mesh)
         if isinstance(op, HybridDIA):
@@ -310,7 +313,7 @@ def shard_unstructured_hierarchy(
     new_levels = []
     for i, lev in enumerate(hier.levels):
         if (i == 0 or shardable(lev.op)) and isinstance(
-            lev.op, (DIA, HybridDIA)
+            lev.op, (DIA, HybridDIA, GridDIA)
         ):
             new_levels.append(
                 dataclasses.replace(

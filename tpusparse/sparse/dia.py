@@ -360,7 +360,7 @@ def auto_container(
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["hi", "lo"],
-    meta_fields=["offsets", "shape"],
+    meta_fields=["offsets", "shape", "grid"],
 )
 @dataclasses.dataclass
 class DFDIA:
@@ -384,10 +384,14 @@ class DFDIA:
     lo: jax.Array | None        # (K, n) f32 residual, or None
     offsets: tuple[int, ...]
     shape: tuple[int, int]
+    # optional 3-D view: (grid_shape, d3s) — bands applied as field
+    # shifts (sparse/griddia.py semantics; requires validated wrap-zeros)
+    grid: tuple | None = None
 
     @classmethod
     def from_host_bands(
-        cls, bands64: "np.ndarray", offsets, shape, hi_dev=None
+        cls, bands64: "np.ndarray", offsets, shape, hi_dev=None,
+        grid: tuple | None = None,
     ) -> "DFDIA":
         """Split host f64 bands; upload lo only when nonzero.  ``hi_dev``:
         an already-uploaded f32 band array to alias (must equal
@@ -402,6 +406,7 @@ class DFDIA:
             lo=None if exact else jax.device_put(lo_np),
             offsets=tuple(int(o) for o in offsets),
             shape=tuple(shape),
+            grid=grid,
         )
 
     @property
@@ -414,8 +419,24 @@ class DFDIA:
 
     def mv(self, x: jax.Array) -> jax.Array:
         """y = A x in x's dtype (promote bands per-term on the fly)."""
-        n = self.n_rows
         dt = x.dtype
+        if self.grid is not None:
+            from tpusparse.sparse.griddia import shift3
+
+            gshape, d3s = self.grid
+            x3 = x.reshape(gshape)
+            y3 = self.hi[0].astype(dt).reshape(gshape) * shift3(x3, d3s[0])
+            for k in range(1, len(d3s)):
+                y3 = y3 + self.hi[k].astype(dt).reshape(gshape) * shift3(
+                    x3, d3s[k]
+                )
+            if self.lo is not None:
+                for k in range(len(d3s)):
+                    y3 = y3 + self.lo[k].astype(dt).reshape(gshape) * (
+                        shift3(x3, d3s[k])
+                    )
+            return y3.reshape(-1)
+        n = self.n_rows
         y = self.hi[0].astype(dt) * _shift(x, self.offsets[0], n)
         for k, o in enumerate(self.offsets[1:], start=1):
             y = y + self.hi[k].astype(dt) * _shift(x, o, n)
