@@ -229,7 +229,12 @@ def solve_poisson(
     setup = preconditioner construction, solve = the (pre-compiled) solve.
     When ``warmup`` is true the solve is compiled + run once first, so
     t_solve measures execution (the reference's KSPSolve timing also
-    excludes compilation — its kernels are prebuilt binaries).
+    excludes compilation — its kernels are prebuilt binaries); the SETUP
+    program gets the same treatment (pre-built untimed, then the timed
+    region re-executes it), so t_setup measures the numeric hierarchy
+    build — rho power iterations, probed Galerkin, transfer construction —
+    which is what the reference's KSPSetUp phase times (its aggregation/
+    SpGEMM run as prebuilt binaries too; src/main_ksp.cpp:97-100).
     """
     ny = ny or nx
     nz = nz or nx
@@ -308,6 +313,23 @@ def solve_poisson(
         decode = _partial(crop_field, shape=grid.shape)
     b = jax.block_until_ready(b)
     t_init = time.perf_counter() - t0
+
+    if warmup and pc == "gamg":
+        # Setup-program build OUTSIDE the timed phase — the same protocol
+        # the solve phase has always used (see the warmup note below): the
+        # reference's KSPSetUp runs prebuilt binaries, so its timed setup
+        # is pure numeric work (aggregation, Galerkin products, smoother
+        # setup).  Our JIT trace + executable transport is the analogue of
+        # its compile step, not of KSPSetUp.  The timed region below
+        # re-executes the (now in-process-cached) setup program, so
+        # t_setup measures the numeric hierarchy build — rho power
+        # iterations, probed Galerkin, transfer builds — on prebuilt
+        # programs, exactly like t_solve.
+        from tpusparse.amg.hierarchy import gamg_setup_compiled as _gsc
+
+        _pre = _gsc(op_lo, amg_params or AMGParams())
+        float(_pre.levels[-1].rho)  # sync via scalar fetch (tunnel-safe)
+        del _pre
 
     t0 = time.perf_counter()
     # NOTE: operator/hierarchy pytrees are passed as jit ARGUMENTS, never
@@ -628,9 +650,22 @@ def _solve_poisson_aij(
     float(jnp.vdot(b, b))  # sync (tunnel-safe)
     t_init = time.perf_counter() - t0
 
+    params = amg_params or AMGParams()
+    if warmup and pc == "gamg":
+        # Setup-program build outside the timed phase (same protocol as
+        # the structured driver and the solve phase: the reference's
+        # KSPSetUp runs prebuilt binaries, so timed setup = numeric work).
+        # The pre-run pays every JIT trace + executable transport; the
+        # timed re-run below executes the in-process-cached programs.
+        _pre = gamg_setup_unstructured(
+            a, params, dtype=lo_dtype if mixed else None,
+            timings={}, aggregation=aggregation, fine_op=op_lo,
+        )
+        float(_pre.levels[-1].rho)  # sync via scalar fetch (tunnel-safe)
+        del _pre
+
     t0 = time.perf_counter()
     breakdown: dict = {}
-    params = amg_params or AMGParams()
     if pc == "gamg":
         pc_state = gamg_setup_unstructured(
             a, params, dtype=lo_dtype if mixed else None,
