@@ -160,6 +160,15 @@ def _pick_ksp(
         from tpusparse.solve.gmres import gmres
 
         return _partial(gmres, restart=ksp_gmres_restart)
+    if ksp == "fgmres":
+        # KSPFGMRES: flexible (right-preconditioned) restarted GMRES —
+        # tolerates a variable/inexact preconditioner, converges on the
+        # TRUE residual norm (solve/fgmres.py)
+        from functools import partial as _partial
+
+        from tpusparse.solve.fgmres import fgmres
+
+        return _partial(fgmres, restart=ksp_gmres_restart)
     if ksp == "bcgs":
         # KSPBCGS: short-recurrence nonsymmetric workhorse
         from tpusparse.solve.bcgs import bicgstab
@@ -180,7 +189,7 @@ def _pick_ksp(
 
         return preonly
     raise ValueError(
-        f"unknown ksp {ksp!r} (cg | pipecg | gmres | bcgs |"
+        f"unknown ksp {ksp!r} (cg | pipecg | gmres | fgmres | bcgs |"
         f" richardson | preonly)"
     )
 

@@ -131,13 +131,14 @@ class Options:
                 setattr(self, field, to)
 
         if self.ksp_type not in (
-            "cg", "pipecg", "gmres", "bcgs", "richardson", "preonly"
+            "cg", "pipecg", "gmres", "fgmres", "bcgs", "richardson",
+            "preonly"
         ):
             # substituting a Krylov METHOD would silently change the
             # algorithm class the user asked for — error, stating why
             raise ValueError(
                 f"-ksp_type {self.ksp_type} is not implemented (supported:"
-                f" cg, pipecg, gmres, bcgs, richardson, preonly); not"
+                f" cg, pipecg, gmres, fgmres, bcgs, richardson, preonly); not"
                 f" substituting because the Krylov method changes the"
                 f" algorithm, not just its speed"
             )

@@ -2,6 +2,7 @@ from tpusparse.solve.bcgs import bicgstab
 from tpusparse.solve.bjacobi import BlockJacobi
 from tpusparse.solve.cg import CGResult, ConvergedReason, cg, cg_hostloop
 from tpusparse.solve.checkpoint import CheckpointConfig, cg_checkpointed
+from tpusparse.solve.fgmres import fgmres
 from tpusparse.solve.gmres import gmres
 from tpusparse.solve.pipelined import cg_pipelined
 from tpusparse.solve.refine import RefinedResult, cg_refined, cg_refined_tf
@@ -12,6 +13,7 @@ __all__ = [
     "cg_hostloop",
     "cg_pipelined",
     "gmres",
+    "fgmres",
     "bicgstab",
     "cg_refined",
     "cg_refined_tf",
