@@ -183,13 +183,18 @@ def _rho_dinv_a(a_sp, dinv: np.ndarray, iters: int = 25) -> float:
 
 
 def gamg_setup_unstructured(
-    a: HostCSR, params: AMGParams = AMGParams(), dtype=None,
+    a: HostCSR | None, params: AMGParams = AMGParams(), dtype=None,
     device_format: str = "auto", max_offsets: int = 192,
     transfer_format: str = "auto", gather_row_cap: int | None = None,
     timings: dict | None = None, aggregation: str = "auto",
     fine_op=None,
 ) -> Hierarchy:
     """Build a device Hierarchy from an arbitrary symmetric HostCSR.
+
+    ``a`` may be None when ``fine_op`` is a device container whose sparsity
+    pattern resolves to the geometric device-resident setup (a
+    device-assembled caller has no host matrix at all); any path that needs
+    host graph passes (greedy aggregation) then raises.
 
     ``timings``: pass a dict to receive the setup-phase breakdown in seconds
     (keys: "aggregate", "galerkin", "rho", "device_put") — KSPSetUp is a
@@ -242,7 +247,8 @@ def gamg_setup_unstructured(
                 np.arange(a.n_rows, dtype=np.int64), np.diff(a.indptr)
             )
             offs_ = np.unique(a.indices.astype(np.int64) - rows_)
-        geo_shape = infer_grid3d(tuple(offs_.tolist()), a.n_rows)
+        n_rows_ = a.n_rows if a is not None else fine_op.shape[0]
+        geo_shape = infer_grid3d(tuple(offs_.tolist()), n_rows_)
         if geo_shape is None and aggregation == "geometric":
             raise ValueError(
                 "aggregation='geometric' but the sparsity pattern does not"
@@ -316,6 +322,16 @@ def gamg_setup_unstructured(
             )
         return ELL.from_csr(h, dtype=dtype)
     import time as _time
+
+    if a is None:
+        # device-assembled caller (e.g. the aij driver's zero-host-work
+        # init): only the fully device-resident geometric branch above can
+        # run — the greedy path's graph passes are host-side by design
+        raise ValueError(
+            "no host CSR and the sparsity pattern did not resolve to the"
+            " device-resident geometric setup (infer_grid3d); pass the"
+            " HostCSR for greedy aggregation"
+        )
 
     tm = {"aggregate": 0.0, "galerkin": 0.0, "rho": 0.0, "device_put": 0.0}
 

@@ -220,6 +220,7 @@ def solve_poisson(
     mat_type: str = "stencil",
     aggregation: str = "auto",
     extent: tuple[float, float, float] | None = None,
+    assembly: str = "auto",
 ) -> SolveReport:
     """End-to-end solve with the reference's defaults
     (tolerances: configs/PETSc_SolverOptions_GAMG.info:1-4).
@@ -257,7 +258,7 @@ def solve_poisson(
             mg_cycle=mg_cycle, monitor=monitor, view=view,
             ksp_gmres_restart=ksp_gmres_restart,
             ksp_richardson_scale=ksp_richardson_scale,
-            aggregation=aggregation, extent=extent,
+            aggregation=aggregation, extent=extent, assembly=assembly,
         )
     if precision not in ("mixed", "tf", "f64", "f32"):
         raise ValueError(f"unknown precision {precision!r}")
@@ -587,6 +588,7 @@ def _solve_poisson_aij(
     ksp_richardson_scale: float,
     aggregation: str = "auto",
     extent: tuple[float, float, float] | None = None,
+    assembly: str = "auto",
 ) -> SolveReport:
     """The general-matrix driver: the manufactured Poisson system ASSEMBLED
     as an arbitrary host CSR (MATAIJ parity — the reference's actual matrix
@@ -596,14 +598,15 @@ def _solve_poisson_aij(
     gather-free DIA containers + unstructured smoothed-aggregation GAMG.
 
     Same phase protocol and output contract as the stencil driver
-    (src/main_ksp.cpp:80-129): init = assembly + fine-operator upload,
-    setup = GAMG hierarchy build (with a sub-phase breakdown in the JSON
-    sidecar), solve = the pre-compiled solve.
+    (src/main_ksp.cpp:80-129): init = system assembly (ON DEVICE by
+    default — ``poisson_dia_device``; ``assembly='host'`` forces the
+    HostCSR oracle route), setup = GAMG hierarchy build (with a sub-phase
+    breakdown in the JSON sidecar), solve = the pre-compiled solve.
     """
     import numpy as np
 
     from tpusparse.amg.unstructured import gamg_setup_unstructured
-    from tpusparse.grid.poisson import assemble_poisson
+    from tpusparse.grid.poisson import assemble_poisson, poisson_dia_device
     from tpusparse.sparse.dia import DIA
 
     if precision not in ("mixed", "f64", "f32"):
@@ -629,33 +632,55 @@ def _solve_poisson_aij(
     # runtime bring-up outside the timed phases (PetscInitialize analogue)
     float(jax.jit(lambda: jnp.zeros(()))())
 
+    if assembly not in ("auto", "device", "host"):
+        raise ValueError(f"unknown assembly {assembly!r}")
+    if assembly == "device" and not mixed:
+        raise ValueError("assembly='device' requires precision='mixed'")
+
     t0 = time.perf_counter()
     lx, ly, lz = extent or (1.0, 1.0, 1.0)
     grid = Grid3D(nx, ny, nz, lx=lx, ly=ly, lz=lz)
-    a, b_np, exact_np = assemble_poisson(grid, dtype=hi_dtype)
-    if mixed:
-        # ONE f32 upload serves both precisions: the f32 bands are the
-        # hierarchy's fine operator AND the hi half of the two-float outer
-        # operator (DFDIA); the lo half uploads only if A is not exactly
-        # f32-representable.  A true-f64 band upload would cost 8 B/entry
-        # of transfer AND HBM traffic (1.5 GB at 300^3).
-        from tpusparse.sparse.dia import DFDIA
-
-        bands64, offsets_, shp = DIA.host_bands(a)
-        bands32_dev = jax.device_put(bands64.astype(np.float32))
-        # NOTE: the 3-D grid-view container (sparse/griddia.py) was
-        # measured SLOWER on the v5e (20.4 vs 13.0 ms per 7-band apply at
-        # 300^3 — the non-tile-aligned field views relayout worse than the
-        # flat shifts) and a small-shape variant miscompiles inside jitted
-        # CG; production keeps the FLAT form (results/README.md trail).
-        op_lo = DIA(bands=bands32_dev, offsets=offsets_, shape=shp)
-        op_hi = DFDIA.from_host_bands(
-            bands64, offsets_, shp, hi_dev=bands32_dev,
-        )
+    on_device = assembly == "device" or (
+        assembly == "auto" and mixed and aggregation != "greedy"
+        and min(nx, ny, nz) >= 2
+    )
+    if on_device:
+        # Assemble ON the accelerator (grid/poisson.poisson_dia_device):
+        # exact two-float band split + f64 fields, zero O(n) host work.
+        # The host CSR form of the SAME matrix used to cost ~100 s of
+        # single-core numpy at 300^3 — the entire init phase.  The setup
+        # that follows is the device-resident geometric path, so no stage
+        # needs a host matrix; ``assembly='host'`` keeps the original
+        # HostCSR route as the parity oracle (and the only route for
+        # greedy aggregation, whose graph pass is host-side).
+        a = None
+        op_hi, op_lo, b, exact = poisson_dia_device(grid)
     else:
-        op_hi = op_lo = DIA.from_csr(a)
-    b = jnp.asarray(b_np)
-    exact = jnp.asarray(exact_np)
+        a, b_np, exact_np = assemble_poisson(grid, dtype=hi_dtype)
+        b = jnp.asarray(b_np)
+        exact = jnp.asarray(exact_np)
+        if mixed:
+            # ONE f32 upload serves both precisions: the f32 bands are the
+            # hierarchy's fine operator AND the hi half of the two-float
+            # outer operator (DFDIA); the lo half uploads only if A is not
+            # exactly f32-representable.  A true-f64 band upload would cost
+            # 8 B/entry of transfer AND HBM traffic (1.5 GB at 300^3).
+            from tpusparse.sparse.dia import DFDIA
+
+            bands64, offsets_, shp = DIA.host_bands(a)
+            bands32_dev = jax.device_put(bands64.astype(np.float32))
+            # NOTE: the 3-D grid-view container (sparse/griddia.py) was
+            # measured SLOWER on the v5e (20.4 vs 13.0 ms per 7-band apply
+            # at 300^3 — the non-tile-aligned field views relayout worse
+            # than the flat shifts) and a small-shape variant miscompiles
+            # inside jitted CG; production keeps the FLAT form
+            # (results/README.md trail).
+            op_lo = DIA(bands=bands32_dev, offsets=offsets_, shape=shp)
+            op_hi = DFDIA.from_host_bands(
+                bands64, offsets_, shp, hi_dev=bands32_dev,
+            )
+        else:
+            op_hi = op_lo = DIA.from_csr(a)
     float(jnp.vdot(b, b))  # sync (tunnel-safe)
     t_init = time.perf_counter() - t0
 
@@ -686,7 +711,10 @@ def _solve_poisson_aij(
             lambda r: vcycle(pc_state, r, gamma=gamma)
         )
     elif pc == "jacobi":
-        diag = jnp.asarray(a.diagonal(), lo_dtype if mixed else hi_dtype)
+        diag = (
+            op_lo.diagonal() if a is None
+            else jnp.asarray(a.diagonal(), lo_dtype if mixed else hi_dtype)
+        )
         pc_state = 1.0 / diag
         m_of = lambda pc_state: (lambda r: pc_state * r)
     elif pc == "none":

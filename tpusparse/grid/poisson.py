@@ -260,3 +260,155 @@ def poisson_stencil(grid: Grid3D, pin: bool = True, dtype=np.float64):
         pinned=bool(pin),
     )
     return op, jnp.asarray(b), jnp.asarray(exact)
+
+def poisson_dia_device(grid: Grid3D, pin: bool = True):
+    """Device-side DIA assembly of the general-matrix (MATAIJ) system.
+
+    The aij driver's init phase used to assemble a 27M-row HostCSR in numpy
+    and convert it to bands — ~100 s of single-core host time at 300^3 on
+    this class of host (the reference assembles on a full CPU socket,
+    ``generateA`` src/helper.cpp:161-246).  The TPU-native answer is the
+    same one ``poisson_stencil_device`` gives the structured path: compute
+    every O(n) array ON the accelerator.  This builds the 7-band DIA form
+    directly as an EXACT two-float split:
+
+      * the six neighbor bands take one value each (``1/h^2``) — split
+        hi = float32(c), lo = float32(c - hi) on the host as scalars;
+      * the diagonal takes at most 8 distinct values (one per
+        interior/face combination per axis, ``-(ci*ax + cj*ay + ck*az)``
+        with ci,cj,ck in {1,2}) — all 8 split host-side, selected on
+        device by nested ``where`` over the boundary masks (no gather);
+      * b / exact are f64 cos-product fields (emulated f64 on TPU, the
+        structured production path's proven machinery).
+
+    So ``hi == float32(A64)`` entrywise and ``hi + lo`` carries ~48
+    mantissa bits — the DFDIA outer-operator contract — with zero host
+    O(n) work and zero host->device band transfer.
+
+    Returns ``(op_hi: DFDIA, op_lo: DIA, b, exact)`` with b/exact flat
+    (n,) f64 device arrays.  Parity oracle: ``assemble_poisson`` (same
+    matrix entrywise; tests/test_poisson_device_assembly.py).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tpusparse.sparse.dia import DFDIA, DIA
+
+    nz, ny, nx = grid.shape
+    if min(nx, ny, nz) < 2:
+        raise ValueError("poisson_dia_device requires nx,ny,nz >= 2")
+    n = grid.n
+    ax = 1.0 / (grid.dx * grid.dx)
+    ay = 1.0 / (grid.dy * grid.dy)
+    az = 1.0 / (grid.dz * grid.dz)
+
+    def split(c: float):
+        hi = np.float32(c)
+        lo = np.float32(c - np.float64(hi))
+        return float(hi), float(lo)
+
+    # band order = ascending column offset (PETSc post-assembly order)
+    offsets = (-ny * nx, -nx, -1, 0, 1, nx, ny * nx)
+    coef64 = (az, ay, ax, 0.0, ax, ay, az)
+    csplit = [split(c) for c in coef64]
+    # 64 diagonal values, one per neighbor-presence pattern, each computed
+    # with numpy's OWN 7-slot row summation (``-vals.sum(axis=1)`` in
+    # assemble_poisson) so the f64 rounding — and therefore the hi/lo
+    # split — is entrywise IDENTICAL to the host oracle for any
+    # anisotropy.  Grouped per-axis arithmetic (2*ax + 2*ay + 2*az)
+    # rounds differently in the last ulp, which the lo band would expose.
+    dsplit = np.empty((2,) * 6 + (2,), np.float32)
+    for bits in np.ndindex(*(2,) * 6):
+        row = np.array(
+            [az * bits[0], ay * bits[1], ax * bits[2], 0.0,
+             ax * bits[3], ay * bits[4], az * bits[5]], np.float64,
+        )
+        dsplit[bits] = split(-row.sum())
+    # pinned diagonal (mean of the unpinned diagonal, closed form)
+    sum_diag = -2.0 * (
+        ax * (nx - 1) * ny * nz
+        + ay * (ny - 1) * nx * nz
+        + az * (nz - 1) * nx * ny
+    )
+    scale = sum_diag / n
+    scale_hi, scale_lo = split(scale)
+
+    f32 = jnp.float32
+    f64 = jnp.float64
+
+    @jax.jit
+    def build():
+        k = jnp.arange(nz, dtype=jnp.int32)[:, None, None]
+        j = jnp.arange(ny, dtype=jnp.int32)[None, :, None]
+        i = jnp.arange(nx, dtype=jnp.int32)[None, None, :]
+        zero = jnp.zeros((), f32)
+        masks = [k > 0, j > 0, i > 0, None, i < nx - 1, j < ny - 1,
+                 k < nz - 1]
+
+        def band(s, part):
+            m = masks[s]
+            c = jnp.asarray(csplit[s][part], f32)
+            return jnp.where(m, c, zero) + jnp.zeros((nz, ny, nx), f32)
+
+        def diag(part):
+            # 64-way select by nested where over the presence bits —
+            # a 6-deep constant tree, no gather
+            bits = [masks[s] for s in (0, 1, 2, 4, 5, 6)]
+
+            def pick(table, depth):
+                if depth == 6:
+                    return jnp.asarray(float(table[part]), f32)
+                return jnp.where(
+                    bits[depth],
+                    pick(table[1], depth + 1),
+                    pick(table[0], depth + 1),
+                )
+
+            return pick(dsplit, 0) + jnp.zeros((nz, ny, nx), f32)
+
+        his = [band(s, 0) if s != 3 else diag(0) for s in range(7)]
+        los = [band(s, 1) if s != 3 else diag(1) for s in range(7)]
+
+        cxs = jnp.cos(C1 * (jnp.arange(nx, dtype=f64) + 0.5) * grid.dx)
+        cys = jnp.cos(C1 * (jnp.arange(ny, dtype=f64) + 0.5) * grid.dy)
+        czs = jnp.cos(C1 * (jnp.arange(nz, dtype=f64) + 0.5) * grid.dz)
+        exact = czs[:, None, None] * cys[None, :, None] * cxs[None, None, :]
+        b = jnp.asarray(C2, f64) * exact
+        exact = exact.reshape(-1)
+        b = b.reshape(-1)
+
+        his = [h.reshape(-1) for h in his]
+        los = [l.reshape(-1) for l in los]
+        if pin:
+            e0 = exact[0]
+            # column-0 entries live in the NEGATIVE-offset bands at rows
+            # r = -offset (MatZeroRowsColumns semantics, helper.cpp:274):
+            # move the coupling to the RHS, zero the entry
+            for s, r, c in ((0, ny * nx, az), (1, nx, ay), (2, 1, ax)):
+                b = b.at[r].add(-jnp.asarray(c, f64) * e0)
+                his[s] = his[s].at[r].set(0.0)
+                los[s] = los[s].at[r].set(0.0)
+            # row 0: all neighbors dropped, diagonal = scale
+            for s in range(7):
+                if s != 3:
+                    his[s] = his[s].at[0].set(0.0)
+                    los[s] = los[s].at[0].set(0.0)
+            his[3] = his[3].at[0].set(scale_hi)
+            los[3] = los[3].at[0].set(scale_lo)
+            b = b.at[0].set(jnp.asarray(scale, f64) * e0)
+        return jnp.stack(his), jnp.stack(los), b, exact
+
+    hi, lo, b, exact = build()
+    lo_exact_zero = (
+        all(c[1] == 0.0 for c in csplit)
+        and not np.any(dsplit[..., 1])
+        and (not pin or scale_lo == 0.0)
+    )
+    op_lo = DIA(bands=hi, offsets=offsets, shape=(n, n))
+    op_hi = DFDIA(
+        hi=hi,
+        lo=None if lo_exact_zero else lo,
+        offsets=offsets,
+        shape=(n, n),
+    )
+    return op_hi, op_lo, b, exact
