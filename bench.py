@@ -24,9 +24,20 @@ RTOL = 1e-8   # BASELINE.json gate (reference config runs 1e-14; see report)
 
 
 def main() -> None:
+    import time
+
     from tpusparse.bench.driver import solve_poisson
 
-    rep = solve_poisson(N, rtol=RTOL, atol=1e-12, pc="gamg")
+    # The tunneled TPU runtime occasionally drops mid-run (worker restart /
+    # transport hiccup); one retry protects the round-end capture without
+    # changing the one-JSON-line contract.
+    try:
+        rep = solve_poisson(N, rtol=RTOL, atol=1e-12, pc="gamg")
+    except Exception as e:  # noqa: BLE001 — transport faults are not typed
+        print(f"bench attempt 1 failed ({e!r}); retrying in 30 s",
+              file=sys.stderr)
+        time.sleep(30)
+        rep = solve_poisson(N, rtol=RTOL, atol=1e-12, pc="gamg")
     result = {
         "metric": f"poisson{N}_cg_gamg_solve_s",
         "value": round(rep.t_solve, 6),

@@ -51,7 +51,10 @@ class AMGParams:
     cheby_hi: float = 1.05
     # real block-Jacobi smoother sub-PC (-mg_levels_pc_type bjacobi with
     # bs x bs blocks, PCBJACOBI beyond the 1-block point degeneracy).
-    # 0 = point Jacobi.  Unstructured path only (needs assembled CSR).
+    # 0 = point Jacobi.  Structured path: blocks assembled on device from
+    # the stencil legs (bs = nx -> x-line relaxation); unstructured path:
+    # blocks from the assembled CSR.  Not supported by the padded/fused
+    # kernel layout (point-Jacobi only).
     bjacobi_bs: int = 0
     # PETSc -pc_gamg_aggressive_coarsening parity (unstructured path):
     # compose TWO greedy aggregation rounds on the first N levels.  Greedy
@@ -100,7 +103,8 @@ class Hierarchy:
 
 @partial(jax.jit, static_argnames=("iters", "true_shape"))
 def estimate_rho_dinv_a(
-    op, dinv, iters: int = 25, true_shape: tuple | None = None
+    op, dinv, iters: int = 25, true_shape: tuple | None = None,
+    m_pc=None,
 ) -> jax.Array:
     """Power iteration for rho(D^{-1} A) (positive spectrum: A and D share
     sign).  Deterministic start vector; a handful of stencil applies.
@@ -114,6 +118,12 @@ def estimate_rho_dinv_a(
     qualitatively wrong coarsest operator near the pinned origin — measured
     on-chip at 300^3: coarsest rho 623 vs 1.57, sign-flipped diagonal
     entries, an indefinite V-cycle, and a diverging CG.
+
+    ``m_pc``: replace the point-Jacobi D^{-1} with an arbitrary SPD
+    preconditioner carried as a pytree exposing ``.apply`` (e.g.
+    BlockJacobi) — the estimate becomes rho(M^{-1} A), which is what the
+    chebyshev smoother bounds need when the level smoother's sub-PC is not
+    point Jacobi.
 
     Jitted with the operator as an argument (never a closure constant — see
     driver.py note on literal bloat)."""
@@ -129,12 +139,14 @@ def estimate_rho_dinv_a(
 
         v = pad_field(v)
 
+    pc = (lambda r: dinv * r) if m_pc is None else m_pc.apply
+
     def body(_, v):
-        w = dinv * op.mv(v)
+        w = pc(op.mv(v))
         return w / jnp.sqrt(jnp.vdot(w, w))
 
     v = jax.lax.fori_loop(0, iters, body, v / jnp.sqrt(jnp.vdot(v, v)))
-    w = dinv * op.mv(v)
+    w = pc(op.mv(v))
     return jnp.vdot(v, w)  # Rayleigh quotient (v normalized)
 
 
@@ -153,11 +165,30 @@ def gamg_setup(
         raise ValueError("only nsmooths in {0, 1} supported")
     if params.smoother not in ("richardson", "chebyshev"):
         raise ValueError(f"unknown smoother {params.smoother!r}")
-    if params.bjacobi_bs:
+    if params.bjacobi_bs and not hasattr(fine_op, "flat_band_fields"):
         raise ValueError(
-            "bjacobi_bs needs an assembled CSR — use the unstructured path"
-            " (amg.unstructured.gamg_setup_unstructured)"
+            f"bjacobi_bs: operator {type(fine_op).__name__} exposes no"
+            " x-band accessor — use layout='plain' (the padded/fused"
+            " kernels are point-Jacobi only) or the unstructured path"
         )
+
+    def _bjac(op_l, dinv_l):
+        # real PCBJACOBI on the structured path (-mg_levels_pc_type
+        # bjacobi beyond the one-block degeneracy): each bs x bs natural-
+        # ordering diagonal block assembled exactly from the stencil legs
+        # that land inside it and batch-inverted on device — with bs = nx
+        # this is x-LINE block relaxation, the textbook smoother for
+        # x-anisotropic operators
+        if not params.bjacobi_bs:
+            return None
+        from tpusparse.solve.bjacobi import BlockJacobi
+
+        return BlockJacobi.from_bands(
+            op_l.diagonal_field(),
+            op_l.flat_band_fields(params.bjacobi_bs),
+            params.bjacobi_bs,
+        )
+
     tm = {"rho": 0.0, "galerkin": 0.0}
     levels: list[Level] = []
     op = fine_op
@@ -183,8 +214,23 @@ def gamg_setup(
             # this whole function, where syncing would be meaningless)
             jax.block_until_ready(rho)
         tm["rho"] += _time.perf_counter() - _t0
+        bjac = _bjac(op, dinv)
+        if bjac is not None:
+            # the chebyshev smoother bounds need the spectrum the smoother
+            # actually sees: rho(M_block^-1 A).  omega below stays D^-1-
+            # based (PETSc smooths the prolongator with point Jacobi
+            # regardless of the level smoother's sub-PC).
+            rho_lev = estimate_rho_dinv_a(
+                op, dinv, params.rho_iters,
+                true_shape=tuple(true) if padded else None,
+                m_pc=bjac,
+            ) * params.rho_safety
+        else:
+            rho_lev = rho
         if last:
-            levels.append(Level(op=op, dinv=dinv, rho=rho, transfer=None))
+            levels.append(Level(
+                op=op, dinv=dinv, rho=rho_lev, transfer=None, bjac=bjac
+            ))
             break
         omega = (
             params.omega_scale / rho
@@ -198,7 +244,9 @@ def gamg_setup(
 
         if isinstance(op, PaddedStar):
             transfer = PaddedTransfer(inner=transfer)
-        levels.append(Level(op=op, dinv=dinv, rho=rho, transfer=transfer))
+        levels.append(Level(
+            op=op, dinv=dinv, rho=rho_lev, transfer=transfer, bjac=bjac,
+        ))
         _t0 = _time.perf_counter()
         op = galerkin_coarse(op, dinv, transfer)
         if timings is not None:

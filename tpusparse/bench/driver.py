@@ -299,17 +299,26 @@ def solve_poisson(
     # kernels per z-shard under shard_map — "auto" takes it on TPU; an
     # explicit layout="padded" takes it on any backend (interpret-mode
     # kernels on CPU, which is how the virtual-mesh tests drive it)
+    # the fused/padded kernels smooth with point Jacobi only; a bjacobi
+    # sub-PC (-pc_bjacobi_bs) routes through the plain XLA cycle, whose
+    # hierarchy carries the batched inverted line blocks (amg/hierarchy.py)
+    bjac_on = bool(amg_params and getattr(amg_params, "bjacobi_bs", 0))
     fused_sh_ok = (
-        mixed and n_devices > 1 and pc == "gamg"
+        mixed and n_devices > 1 and pc == "gamg" and not bjac_on
         and grid.shape[0] % n_devices == 0
     )
     if layout == "auto":
         padded = (
-            mixed and n_devices == 1 and is_tpu_backend()
+            mixed and n_devices == 1 and is_tpu_backend() and not bjac_on
             and star7_supported(grid.shape, np.float32)
         )
         fused_sh = fused_sh_ok and is_tpu_backend()
     else:
+        if layout == "padded" and bjac_on:
+            raise ValueError(
+                "layout='padded' is point-Jacobi only; drop -pc_bjacobi_bs"
+                " or use layout='plain'/'auto'"
+            )
         padded = mixed and n_devices == 1 and layout == "padded"
         fused_sh = fused_sh_ok and layout == "padded"
     encode = decode = None

@@ -75,16 +75,60 @@ class BlockJacobi:
             dinv_blocks=jax.device_put(inv, device=device), bs=bs, n=n
         )
 
+    @classmethod
+    def from_bands(
+        cls, diag: jax.Array, bands: dict, bs: int
+    ) -> "BlockJacobi":
+        """Device-side build from a structured operator's flat-offset band
+        fields (``flat_band_fields(bs)`` on StarStencil3D / VarStencil27:
+        {o: f} with ``f[p] = A[p, p+o]`` for 0 < |o| < bs — offsets at or
+        beyond bs can never land inside a bs x bs diagonal block).  Runs
+        entirely on the accelerator (traceable — used inside the
+        one-dispatch ``gamg_setup_compiled`` program); couplings that
+        straddle a block boundary are dropped, which is exactly what
+        block-Jacobi means.
+        """
+        d = diag.reshape(-1)
+        n = d.shape[0]
+        nb = -(-n // bs)
+        pad = nb * bs - n
+
+        def prep(v, fill):
+            v = v.reshape(-1).astype(d.dtype)
+            if pad:
+                v = jnp.concatenate(
+                    [v, jnp.full((pad,), fill, d.dtype)]
+                )
+            return v.reshape(nb, bs)
+
+        # structurally-empty diagonal entries would make a block singular
+        # (same regularization as the host CSR build above); the tail
+        # block pads with identity
+        d2 = prep(jnp.where(d == 0, jnp.ones((), d.dtype), d), 1.0)
+        blocks = d2[:, :, None] * jnp.eye(bs, dtype=d.dtype)
+        for o, f in sorted(bands.items()):
+            if not 0 < abs(o) < bs:
+                continue
+            # entry (j, j+o) of block k = f[k*bs + j]; jnp.eye's k-th
+            # diagonal masks the rows whose j+o falls outside the block
+            blocks = blocks + prep(f, 0.0)[:, :, None] * jnp.eye(
+                bs, k=o, dtype=d.dtype
+            )
+        return cls(dinv_blocks=jnp.linalg.inv(blocks), bs=bs, n=n)
+
     def apply(self, r: jax.Array) -> jax.Array:
-        """z = inv(blockdiag(A)) @ r — batched matmul, no gather."""
+        """z = inv(blockdiag(A)) @ r — batched matmul, no gather.  Accepts
+        the flat vector or any field view of it (the structured V-cycle
+        smooths on (nz, ny, nx) fields); the output keeps r's shape."""
         nb, bs = self.dinv_blocks.shape[0], self.bs
         pad = nb * bs - self.n
-        rb = (jnp.pad(r, (0, pad)) if pad else r).reshape(nb, bs)
+        rf = r.reshape(-1)
+        rb = (jnp.pad(rf, (0, pad)) if pad else rf).reshape(nb, bs)
         z = jnp.einsum(
             "kij,kj->ki", self.dinv_blocks, rb,
             preferred_element_type=rb.dtype,
         ).reshape(-1)
-        return z[: self.n] if pad else z
+        return (z[: self.n] if pad else z).reshape(r.shape)
 
     def __call__(self, r: jax.Array) -> jax.Array:
         return self.apply(r)

@@ -174,6 +174,41 @@ class StarStencil3D:
     def diagonal_field(self) -> jax.Array:
         return self.diag
 
+    def flat_band_fields(self, max_abs_offset: int) -> dict:
+        """{flat offset o: field f with f[p] = A[p, p+o]} for every stencil
+        leg with 0 < |o| < ``max_abs_offset`` (natural ordering, p = flat
+        index of (k, j, i)).  Domain-edge drops and the pinned row/column
+        are masked in, so the fields ARE the matrix bands — the structured
+        block-Jacobi builder (``solve/bjacobi.py::BlockJacobi.from_bands``)
+        consumes them to assemble exact bs x bs diagonal blocks.
+        """
+        shape = self.diag.shape
+        nz, ny, nx = shape
+        dt = self.diag.dtype
+        k = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        j = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        i = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+        zero = jnp.zeros((), dt)
+        legs = [
+            (1, jnp.asarray(self.cx, dt), i < nx - 1),
+            (-1, jnp.asarray(self.cx, dt), i > 0),
+            (nx, jnp.asarray(self.cy, dt), j < ny - 1),
+            (-nx, jnp.asarray(self.cy, dt), j > 0),
+            (nx * ny, jnp.asarray(self.cz, dt), k < nz - 1),
+            (-nx * ny, jnp.asarray(self.cz, dt), k > 0),
+        ]
+        flat = (k * ny + j) * nx + i  # natural-ordering row index
+        out = {}
+        for o, c, valid in legs:
+            if abs(o) >= max_abs_offset:
+                continue
+            f = jnp.where(valid, c, zero)
+            if self.pinned:
+                # MatZeroRowsColumns on row/col 0: A[0, o] = A[o, 0] = 0
+                f = jnp.where((flat == 0) | (flat + o == 0), zero, f)
+            out[o] = f
+        return out
+
     def __matmul__(self, x):
         return self.mv(x) if x.ndim == 3 else self.mv_flat(x)
 

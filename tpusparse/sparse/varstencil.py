@@ -88,6 +88,37 @@ class VarStencil27:
     def diagonal_field(self) -> jax.Array:
         return self.coef[CENTER]
 
+    def flat_band_fields(self, max_abs_offset: int) -> dict:
+        """{flat offset o: field f with f[p] = A[p, p+o]} for every stencil
+        offset with 0 < |flat o| < ``max_abs_offset``.  Stored coefficients
+        whose shift target falls outside the grid are never read by ``mv``
+        and may be arbitrary, so they are masked out here.  Distinct 3-D
+        offsets can alias to one flat offset on tiny grids (e.g. nx == 2:
+        (0,1,-1) and (0,0,1) both reach p+1) — aliases accumulate, exactly
+        like the CSR assembly would sum duplicate (row, col) entries.
+        Consumed by ``solve/bjacobi.py::BlockJacobi.from_bands``."""
+        nz, ny, nx = self.grid_shape
+        shape = self.grid_shape
+        k = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        j = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        i = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+        zero = jnp.zeros((), self.dtype)
+        out: dict = {}
+        for o3, (dk, dj, di) in enumerate(OFFSETS):
+            if (dk, dj, di) == (0, 0, 0):
+                continue
+            o = (dk * ny + dj) * nx + di
+            if o == 0 or abs(o) >= max_abs_offset:
+                continue
+            valid = (
+                (k + dk >= 0) & (k + dk < nz)
+                & (j + dj >= 0) & (j + dj < ny)
+                & (i + di >= 0) & (i + di < nx)
+            )
+            f = jnp.where(valid, self.coef[o3], zero)
+            out[o] = out[o] + f if o in out else f
+        return out
+
     def __matmul__(self, x):
         return self.mv(x) if x.ndim == 3 else self.mv_flat(x)
 
