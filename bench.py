@@ -30,9 +30,15 @@ def main() -> None:
 
     # The tunneled TPU runtime occasionally drops mid-run (worker restart /
     # transport hiccup); one retry protects the round-end capture without
-    # changing the one-JSON-line contract.
+    # changing the one-JSON-line contract.  Deterministic failures
+    # (divergence, bad options) re-raise immediately — a retry cannot
+    # change their outcome and would burn minutes of 300^3 pipeline.
+    from tpusparse.bench.driver import DivergedError
+
     try:
         rep = solve_poisson(N, rtol=RTOL, atol=1e-12, pc="gamg")
+    except (DivergedError, ValueError, TypeError, NotImplementedError):
+        raise
     except Exception as e:  # noqa: BLE001 — transport faults are not typed
         print(f"bench attempt 1 failed ({e!r}); retrying in 30 s",
               file=sys.stderr)

@@ -173,3 +173,92 @@ def test_bjacobi_rejected_on_padded_layout():
             16, 16, 16, layout="padded",
             amg_params=AMGParams(bjacobi_bs=4),
         )
+
+
+def test_pcr_line_jacobi_exact_vs_dense_inverse():
+    """PCR tridiagonal factorization == the dense block inverse on x-line
+    blocks (the bs=nx case whose dense form is O(n*bs) memory — ~32 GB at
+    the production 300^3, hence the reroute)."""
+    from tpusparse.solve.bjacobi import PCRLineJacobi
+
+    rng = np.random.default_rng(3)
+    nb, bs = 5, 17
+    lo = rng.standard_normal((nb, bs))
+    up = rng.standard_normal((nb, bs))
+    d = 4.0 + np.abs(rng.standard_normal((nb, bs)))
+    lo[:, 0] = 0.0
+    up[:, -1] = 0.0
+    n = nb * bs
+    pcr = PCRLineJacobi.build(
+        jnp.asarray(lo), jnp.asarray(d), jnp.asarray(up), n
+    )
+    r = rng.standard_normal(n)
+    tri = sp.diags(
+        [lo.reshape(-1)[1:], d.reshape(-1), up.reshape(-1)[:-1]],
+        [-1, 0, 1],
+    ).tocsr()
+    want = sp.linalg.spsolve(tri, r)
+    np.testing.assert_allclose(
+        np.asarray(pcr.apply(jnp.asarray(r))), want, rtol=1e-12
+    )
+
+
+def test_from_bands_reroutes_tridiagonal_past_dense_cap(monkeypatch):
+    """Past the dense entry cap, tridiagonal blocks build the O(n log bs)
+    PCR form; non-tridiagonal blocks raise (shrink bs) instead of OOMing."""
+    import pytest
+
+    from tpusparse.solve.bjacobi import PCRLineJacobi
+
+    monkeypatch.setattr(BlockJacobi, "DENSE_ENTRY_CAP", 8)
+    rng = np.random.default_rng(4)
+    bs, nb = 11, 4
+    n = nb * bs - 2  # ragged tail
+    d = jnp.asarray(4.0 + np.abs(rng.standard_normal(n)))
+    sub = rng.standard_normal(n)
+    sup = rng.standard_normal(n)
+    bj = BlockJacobi.from_bands(
+        d, {-1: jnp.asarray(sub), 1: jnp.asarray(sup)}, bs
+    )
+    assert isinstance(bj, PCRLineJacobi)
+    r = rng.standard_normal(n)
+    z = np.asarray(bj.apply(jnp.asarray(r)))
+    # oracle: dense per-block solve with boundary couplings dropped
+    lo2 = sub.copy()
+    up2 = sup.copy()
+    lo2[::bs] = 0.0  # entries A[p, p-1] crossing a block start
+    up2[bs - 1::bs] = 0.0
+    a = np.diag(np.asarray(d)) + np.diag(lo2[1:], -1) + np.diag(
+        up2[:-1], 1
+    )
+    want = np.concatenate(
+        [
+            np.linalg.solve(
+                a[k:min(k + bs, n), k:min(k + bs, n)],
+                r[k:min(k + bs, n)],
+            )
+            for k in range(0, n, bs)
+        ]
+    )
+    np.testing.assert_allclose(z, want, rtol=1e-11)
+    with pytest.raises(ValueError, match="not tridiagonal"):
+        BlockJacobi.from_bands(d, {2: jnp.asarray(sup)}, bs)
+
+
+def test_build_reroutes_tridiagonal_past_dense_cap(monkeypatch):
+    """The host-CSR build takes the same PCR reroute."""
+    from tpusparse.solve.bjacobi import PCRLineJacobi
+
+    monkeypatch.setattr(BlockJacobi, "DENSE_ENTRY_CAP", 8)
+    m = 40
+    tri = sp.diags([-1.0, 2.1, -1.0], [-1, 0, 1], shape=(m, m)).tocsr()
+    bj = BlockJacobi.build(HostCSR.from_scipy(tri), 10)
+    assert isinstance(bj, PCRLineJacobi)
+    r = np.linspace(-1.0, 1.0, m)
+    z = np.asarray(bj.apply(jnp.asarray(r)))
+    dense = tri.toarray()
+    dense[9, 10] = dense[10, 9] = 0.0
+    dense[19, 20] = dense[20, 19] = 0.0
+    dense[29, 30] = dense[30, 29] = 0.0
+    want = np.linalg.solve(dense, r)
+    np.testing.assert_allclose(z, want, rtol=1e-11)

@@ -215,16 +215,22 @@ def gamg_setup(
             jax.block_until_ready(rho)
         tm["rho"] += _time.perf_counter() - _t0
         bjac = _bjac(op, dinv)
-        if bjac is not None:
+        if bjac is not None and not last:
             # the chebyshev smoother bounds need the spectrum the smoother
             # actually sees: rho(M_block^-1 A).  omega below stays D^-1-
             # based (PETSc smooths the prolongator with point Jacobi
-            # regardless of the level smoother's sub-PC).
+            # regardless of the level smoother's sub-PC).  The coarsest
+            # level skips this: its solve is preonly(bjac) and Level.rho
+            # is never consumed there.
+            _t0 = _time.perf_counter()
             rho_lev = estimate_rho_dinv_a(
                 op, dinv, params.rho_iters,
                 true_shape=tuple(true) if padded else None,
                 m_pc=bjac,
             ) * params.rho_safety
+            if timings is not None:
+                jax.block_until_ready(rho_lev)
+            tm["rho"] += _time.perf_counter() - _t0
         else:
             rho_lev = rho
         if last:
