@@ -51,6 +51,7 @@ def main(argv: list[str] | None = None) -> int:
             ksp_gmres_restart=opts.ksp_gmres_restart,
             mat_type=opts.mat_type,
             aggregation=opts.pc_gamg_aggregation,
+            structure_detect=bool(opts.mat_structure_detect),
         )
     if opts.ksp_view and rep.solver_view:
         print(rep.solver_view)

@@ -221,6 +221,7 @@ def solve_poisson(
     aggregation: str = "auto",
     extent: tuple[float, float, float] | None = None,
     assembly: str = "auto",
+    structure_detect: bool = True,
 ) -> SolveReport:
     """End-to-end solve with the reference's defaults
     (tolerances: configs/PETSc_SolverOptions_GAMG.info:1-4).
@@ -259,6 +260,7 @@ def solve_poisson(
             ksp_gmres_restart=ksp_gmres_restart,
             ksp_richardson_scale=ksp_richardson_scale,
             aggregation=aggregation, extent=extent, assembly=assembly,
+            structure_detect=structure_detect,
         )
     if precision not in ("mixed", "tf", "f64", "f32"):
         raise ValueError(f"unknown precision {precision!r}")
@@ -333,6 +335,34 @@ def solve_poisson(
     b = jax.block_until_ready(b)
     t_init = time.perf_counter() - t0
 
+    return _setup_and_solve(
+        op=op, op_lo=op_lo, b=b, exact=exact, nx=nx, ny=ny, nz=nz,
+        t_init=t_init, padded=padded, fused_sh=fused_sh, encode=encode,
+        decode=decode, mixed=mixed, precision=precision, pc=pc,
+        pc_dtype=pc_dtype, mg_cycle=mg_cycle, amg_params=amg_params,
+        rtol=rtol, atol=atol, maxiter=maxiter, ksp=ksp,
+        ksp_solve=ksp_solve, monitor=monitor, view=view, warmup=warmup,
+        n_devices=n_devices, check_error=check_error,
+    )
+
+
+def _setup_and_solve(
+    *,
+    op, op_lo, b, exact, nx, ny, nz, t_init,
+    padded, fused_sh, encode, decode,
+    mixed, precision, pc, pc_dtype, mg_cycle, amg_params,
+    rtol, atol, maxiter, ksp, ksp_solve, monitor, view,
+    warmup, n_devices, check_error,
+    mat_type: str = "stencil",
+    view_extra: str | None = None,
+    breakdown: dict | None = None,
+    t_setup_seed: float = 0.0,
+) -> SolveReport:
+    """KSPSetUp + KSPSolve core shared by the structured driver and the
+    star-lifted aij route (sparse/starlift.py): warmup program builds,
+    timed one-dispatch hierarchy setup, fused/padded cycle selection,
+    sharding, timed solve, and the reference-contract report
+    (src/main_ksp.cpp:97-129)."""
     if warmup and pc == "gamg":
         # Setup-program build OUTSIDE the timed phase — the same protocol
         # the solve phase has always used (see the warmup note below): the
@@ -358,7 +388,7 @@ def solve_poisson(
     if mg_cycle not in ("v", "w"):
         raise ValueError(f"unknown mg_cycle {mg_cycle!r}")
     gamma = 1 if mg_cycle == "v" else 2
-    breakdown: dict = {}
+    breakdown = {} if breakdown is None else breakdown
     if pc == "gamg":
         # ONE-dispatch compiled setup (gamg_setup_compiled): the whole
         # hierarchy build as a single XLA program — eager per-level
@@ -488,6 +518,7 @@ def solve_poisson(
                 preflight_sharded,
                 vcycle_fused_sharded,
             )
+            from tpusparse.kernels.stencil7 import is_tpu_backend
 
             fs = FusedSharded.build(
                 op_lo, mesh, interpret=not is_tpu_backend()
@@ -507,7 +538,7 @@ def solve_poisson(
     jitted = jax.jit(solve_fn)
     solve = lambda b: jitted(op_hi, op_lo, pc_state, b)
     jax.block_until_ready(jax.tree.leaves(op))
-    t_setup = time.perf_counter() - t0
+    t_setup = time.perf_counter() - t0 + t_setup_seed
 
     # NOTE: sync via scalar fetch, not block_until_ready — on tunneled
     # backends (axon) block_until_ready can return before execution finishes;
@@ -537,6 +568,8 @@ def solve_poisson(
             + (", layout: padded-resident (fused fine level)" if padded
                else ", layout: plain"),
         ]
+        if view_extra:
+            lines.append(f"  {view_extra}")
         if pc == "gamg":
             from tpusparse.amg.hierarchy import hierarchy_summary
 
@@ -566,6 +599,7 @@ def solve_poisson(
         atol=atol,
         pc=pc,
         precision=precision,
+        mat_type=mat_type,
         outer_iters=int(getattr(res, "outer_iters", 0)),
         residual_history=history,
         solver_view=view_text,
@@ -598,6 +632,7 @@ def _solve_poisson_aij(
     aggregation: str = "auto",
     extent: tuple[float, float, float] | None = None,
     assembly: str = "auto",
+    structure_detect: bool = True,
 ) -> SolveReport:
     """The general-matrix driver: the manufactured Poisson system ASSEMBLED
     as an arbitrary host CSR (MATAIJ parity — the reference's actual matrix
@@ -645,12 +680,29 @@ def _solve_poisson_aij(
         raise ValueError(f"unknown assembly {assembly!r}")
     if assembly == "device" and not mixed:
         raise ValueError("assembly='device' requires precision='mixed'")
+    if assembly == "device" and pc == "gamg" and (
+        aggregation == "greedy" or (amg_params or AMGParams()).bjacobi_bs
+    ):
+        raise ValueError(
+            "assembly='device' leaves no host CSR, but greedy aggregation"
+            " / bjacobi_bs require one — use assembly='host'"
+        )
 
+    params = amg_params or AMGParams()
+    # the fully device-resident setup route (no host matrix anywhere) is
+    # taken only by the geometric compiled path, which additionally
+    # requires bjacobi_bs == 0 (unstructured.py geo gate) — a device
+    # assembly outside that route would leave greedy aggregation with no
+    # host CSR to chew on
+    geo_route = (
+        pc != "gamg"
+        or (aggregation != "greedy" and params.bjacobi_bs == 0)
+    )
     t0 = time.perf_counter()
     lx, ly, lz = extent or (1.0, 1.0, 1.0)
     grid = Grid3D(nx, ny, nz, lx=lx, ly=ly, lz=lz)
     on_device = assembly == "device" or (
-        assembly == "auto" and mixed and aggregation != "greedy"
+        assembly == "auto" and mixed and geo_route
         and min(nx, ny, nz) >= 2
     )
     if on_device:
@@ -693,13 +745,85 @@ def _solve_poisson_aij(
     float(jnp.vdot(b, b))  # sync (tunnel-safe)
     t_init = time.perf_counter() - t0
 
-    params = amg_params or AMGParams()
-    if warmup and pc == "gamg":
+    if (
+        structure_detect and pc == "gamg" and n_devices == 1
+        and aggregation != "greedy"  # explicit greedy = explicit request
+        # for the unstructured machinery; detection is "auto" behavior
+    ):
+        # Structure detection (sparse/starlift.py): PROVE the assembled
+        # matrix is an exact constant-coefficient 7-point star (+ pin) and,
+        # on success, run the production structured pipeline — PaddedStar
+        # + fused temporally-blocked kernels — instead of the generic
+        # banded executor.  This is what a structure-aware Mat
+        # implementation does with the reference's own benchmark matrix
+        # (DMDA Poisson forced into MATAIJ, src/helper.cpp:39); matrices
+        # that fail the proof keep the general DIA path below.  The proof
+        # cost (one pass over the band data + a scalar fetch) is charged
+        # to the setup phase.
+        from tpusparse.sparse.starlift import star_lift
+
+        if warmup:
+            # proof-program build outside the timed phase (same prebuilt-
+            # binaries protocol as every other phase); the timed call
+            # below hits the in-process jit cache and measures the
+            # one-band-pass numeric proof
+            star_lift(op_lo, op_hi, grid.shape)
+        _t0 = time.perf_counter()
+        lifted = star_lift(op_lo, op_hi, grid.shape)
+        lift_s = time.perf_counter() - _t0
+        if lifted is not None:
+            star_hi, star_lo = lifted
+            from tpusparse.kernels.stencil7 import (
+                is_tpu_backend,
+                star7_supported,
+            )
+
+            bjac_on = bool(params.bjacobi_bs)
+            padded = (
+                mixed and is_tpu_backend() and not bjac_on
+                and star7_supported(grid.shape, np.float32)
+            )
+            encode = decode = None
+            if padded:
+                from functools import partial as _partial
+
+                from tpusparse.sparse.padded import (
+                    PaddedStar,
+                    crop_field,
+                    pad_field,
+                )
+
+                star_lo = PaddedStar.from_star(star_lo)
+                encode = pad_field
+                decode = _partial(crop_field, shape=grid.shape)
+            return _setup_and_solve(
+                op=star_hi, op_lo=star_lo,
+                b=b.reshape(grid.shape), exact=exact.reshape(grid.shape),
+                nx=nx, ny=ny, nz=nz, t_init=t_init, padded=padded,
+                fused_sh=False, encode=encode, decode=decode, mixed=mixed,
+                precision=precision, pc=pc, pc_dtype="f32",
+                mg_cycle=mg_cycle, amg_params=params, rtol=rtol,
+                atol=atol, maxiter=maxiter, ksp=ksp, ksp_solve=ksp_solve,
+                monitor=monitor, view=view, warmup=warmup, n_devices=1,
+                check_error=check_error, mat_type="aij",
+                view_extra=(
+                    "mat structure: constant-coefficient star DETECTED"
+                    " (exact proof) -> structured executor"
+                ),
+                breakdown={"star_lift": round(lift_s, 4)},
+                t_setup_seed=lift_s,
+            )
+        del lift_s
+
+    if warmup and pc == "gamg" and geo_route:
         # Setup-program build outside the timed phase (same protocol as
         # the structured driver and the solve phase: the reference's
         # KSPSetUp runs prebuilt binaries, so timed setup = numeric work).
         # The pre-run pays every JIT trace + executable transport; the
         # timed re-run below executes the in-process-cached programs.
+        # Geo-compiled route ONLY: the greedy/host route's dominant cost
+        # is host-side scipy aggregation + Galerkin, which no cache
+        # covers — a pre-run there would double total setup wall time.
         _pre = gamg_setup_unstructured(
             a, params, dtype=lo_dtype if mixed else None,
             timings={}, aggregation=aggregation, fine_op=op_lo,

@@ -85,6 +85,11 @@ class Options:
     # "greedy".  PETSc's analogue of structure-informed aggregation is
     # PCSetCoordinates-fed GAMG.
     pc_gamg_aggregation: str = "auto"
+    # aij-path structure detection (sparse/starlift.py): prove the
+    # assembled matrix is an exact constant-coefficient star and run the
+    # structured executor.  1 = on (default), 0 = always the general
+    # banded path (the pure general-executor benchmark mode).
+    mat_structure_detect: int = 1
     dtype: str = "float64"
     devices: int = 1                # mesh size (z-sharded)
     precision: str = "mixed"        # mixed | tf | f64 | f32 (bench/driver.py)
