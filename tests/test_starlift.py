@@ -105,3 +105,31 @@ def test_aij_host_assembly_also_lifts():
     )
     assert "star DETECTED" in rep.solver_view
     assert rep.reason > 0
+
+
+def test_aij_multi_device_via_lift():
+    """Sharded aij through the driver: the star lift routes the assembled
+    matrix onto the structured sharded pipeline (MPIAIJ-through-the-driver
+    parity for proven-structured matrices; the general sharded executor
+    is dist.general.DistDIA)."""
+    if len(jax.devices()) < 4:
+        import pytest
+
+        pytest.skip("needs the 8-device virtual mesh")
+    rep = solve_poisson(16, mat_type="aij", rtol=1e-8, n_devices=4)
+    ref = solve_poisson(16, rtol=1e-8)
+    assert rep.mat_type == "aij" and rep.reason > 0
+    assert rep.iters == ref.iters
+    np.testing.assert_allclose(
+        rep.linf_error, ref.linf_error, rtol=1e-8
+    )
+
+
+def test_aij_multi_device_without_detect_raises():
+    import pytest
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the 8-device virtual mesh")
+    with pytest.raises(NotImplementedError, match="DistDIA"):
+        solve_poisson(16, mat_type="aij", rtol=1e-8, n_devices=4,
+                      structure_detect=False)

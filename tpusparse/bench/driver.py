@@ -657,10 +657,14 @@ def _solve_poisson_aij(
         raise ValueError(
             f"mat_type=aij supports precision mixed|f64|f32, got {precision!r}"
         )
-    if n_devices != 1:
+    if n_devices != 1 and not structure_detect:
+        # the sharded GENERAL executor lives in dist.general (DistDIA /
+        # DistHybridDIA, exercised by __graft_entry__.dryrun_multichip);
+        # through THIS driver, multi-device aij requires the star lift —
+        # proven-structured matrices ride the structured sharded pipeline
         raise NotImplementedError(
-            "mat_type=aij multi-device driver: use dist.general.DistDIA"
-            " (sharded path exercised by __graft_entry__.dryrun_multichip)"
+            "mat_type=aij multi-device driver requires structure_detect"
+            " (general path: use dist.general.DistDIA)"
         )
     mixed = precision == "mixed"
     hi_dtype = np.float32 if precision == "f32" else np.float64
@@ -746,7 +750,7 @@ def _solve_poisson_aij(
     t_init = time.perf_counter() - t0
 
     if (
-        structure_detect and pc == "gamg" and n_devices == 1
+        structure_detect and pc == "gamg"
         and aggregation != "greedy"  # explicit greedy = explicit request
         # for the unstructured machinery; detection is "auto" behavior
     ):
@@ -780,8 +784,16 @@ def _solve_poisson_aij(
 
             bjac_on = bool(params.bjacobi_bs)
             padded = (
-                mixed and is_tpu_backend() and not bjac_on
+                mixed and n_devices == 1 and is_tpu_backend()
+                and not bjac_on
                 and star7_supported(grid.shape, np.float32)
+            )
+            # multi-device: the structured fused-sharded pipeline (same
+            # resolution rule as the structured driver's layout="auto")
+            fused_sh = (
+                mixed and n_devices > 1 and not bjac_on
+                and grid.shape[0] % n_devices == 0
+                and is_tpu_backend()
             )
             encode = decode = None
             if padded:
@@ -800,11 +812,13 @@ def _solve_poisson_aij(
                 op=star_hi, op_lo=star_lo,
                 b=b.reshape(grid.shape), exact=exact.reshape(grid.shape),
                 nx=nx, ny=ny, nz=nz, t_init=t_init, padded=padded,
-                fused_sh=False, encode=encode, decode=decode, mixed=mixed,
+                fused_sh=fused_sh, encode=encode, decode=decode,
+                mixed=mixed,
                 precision=precision, pc=pc, pc_dtype="f32",
                 mg_cycle=mg_cycle, amg_params=params, rtol=rtol,
                 atol=atol, maxiter=maxiter, ksp=ksp, ksp_solve=ksp_solve,
-                monitor=monitor, view=view, warmup=warmup, n_devices=1,
+                monitor=monitor, view=view, warmup=warmup,
+                n_devices=n_devices,
                 check_error=check_error, mat_type="aij",
                 view_extra=(
                     "mat structure: constant-coefficient star DETECTED"
@@ -814,6 +828,13 @@ def _solve_poisson_aij(
                 t_setup_seed=lift_s,
             )
         del lift_s
+
+    if n_devices != 1:
+        raise NotImplementedError(
+            "mat_type=aij multi-device: the matrix did not prove star-"
+            "structured (or pc/aggregation preclude the lift) — use "
+            "dist.general.DistDIA for sharded general matrices"
+        )
 
     if warmup and pc == "gamg" and geo_route:
         # Setup-program build outside the timed phase (same protocol as
