@@ -107,7 +107,10 @@ def test_aij_driver_matches_stencil_driver():
     the KSPSetUp sub-phase breakdown (VERDICT r2 #2/#3)."""
     from tpusparse.bench.driver import solve_poisson
 
-    rep = solve_poisson(24, rtol=1e-8, atol=1e-12, mat_type="aij")
+    rep = solve_poisson(24, rtol=1e-8, atol=1e-12, mat_type="aij",
+                    structure_detect=False)  # pin the GENERAL executor
+    # (the star lift would otherwise route this to the structured core;
+    # the lifted route is covered by tests/test_starlift.py)
     ref = solve_poisson(24, rtol=1e-8, atol=1e-12, mat_type="stencil")
     assert rep.mat_type == "aij" and rep.reason > 0
     assert abs(rep.linf_error - ref.linf_error) < 1e-6 * max(

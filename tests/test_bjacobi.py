@@ -262,3 +262,57 @@ def test_build_reroutes_tridiagonal_past_dense_cap(monkeypatch):
     dense[29, 30] = dense[30, 29] = 0.0
     want = np.linalg.solve(dense, r)
     np.testing.assert_allclose(z, want, rtol=1e-11)
+
+
+def test_xline_mode_coarsens_with_the_grid(monkeypatch):
+    """bs = fine nx is x-LINE mode: every level smooths its own lines
+    (level bs = level nx), and the 27-point coarse levels' non-+-1
+    in-range offsets are dropped (their in-block overlap is zero by leg
+    masking), so the tridiagonal PCR route works at any size — previously
+    level 1 raised 'not tridiagonal' past the dense cap."""
+    from tpusparse.amg import AMGParams, gamg_setup, vcycle
+    from tpusparse.grid.grid3d import Grid3D
+    from tpusparse.grid.poisson import poisson_stencil
+    from tpusparse.solve import cg
+    from tpusparse.solve.bjacobi import PCRLineJacobi
+
+    monkeypatch.setattr(BlockJacobi, "DENSE_ENTRY_CAP", 8)
+    grid = Grid3D(27, 9, 9, lx=1.0, ly=2.0, lz=2.0)
+    op, b, _ = poisson_stencil(grid)
+    hier = gamg_setup(
+        op, AMGParams(coarse_eq_limit=8, bjacobi_bs=27)
+    )
+    assert len(hier.levels) >= 2
+    for lev in hier.levels:
+        assert isinstance(lev.bjac, PCRLineJacobi)
+        # per-level line length, not the fine bs
+        assert lev.bjac.bs == lev.op.grid_shape[2]
+    res = cg(op.mv, b.reshape(op.grid_shape), rtol=1e-8, maxiter=400,
+             m_mv=lambda r: vcycle(hier, r))
+    assert int(res.reason) > 0
+
+    # the dropped coarse-level offsets really are value-zero at their
+    # in-block eye positions: level-1 27-point blocks vs a dense oracle
+    lev1 = hier.levels[1]
+    import jax.numpy as jnp
+
+    n1 = int(np.prod(lev1.op.grid_shape))
+    cols = []
+    for j in range(n1):
+        e = jnp.zeros(n1).at[j].set(1.0)
+        cols.append(np.asarray(lev1.op.mv(
+            e.reshape(lev1.op.grid_shape)
+        )).reshape(-1))
+    a1 = np.stack(cols, axis=1)
+    bs1 = lev1.op.grid_shape[2]
+    r = np.random.default_rng(7).standard_normal(n1)
+    want = np.concatenate([
+        np.linalg.solve(
+            # tridiagonal part of the block == what line relaxation solves
+            np.tril(np.triu(a1[k:k+bs1, k:k+bs1], -1), 1),
+            r[k:k+bs1],
+        )
+        for k in range(0, n1, bs1)
+    ])
+    got = np.asarray(lev1.bjac.apply(jnp.asarray(r)))
+    np.testing.assert_allclose(got, want, rtol=1e-10)

@@ -73,11 +73,11 @@ def test_aij_driver_device_vs_host_assembly_identical():
 
     r_dev = solve_poisson(
         24, rtol=1e-8, atol=1e-12, mat_type="aij", precision="mixed",
-        assembly="device",
+        assembly="device", structure_detect=False,
     )
     r_host = solve_poisson(
         24, rtol=1e-8, atol=1e-12, mat_type="aij", precision="mixed",
-        assembly="host",
+        assembly="host", structure_detect=False,
     )
     assert r_dev.iters == r_host.iters
     assert r_dev.outer_iters == r_host.outer_iters

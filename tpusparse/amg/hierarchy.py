@@ -172,6 +172,8 @@ def gamg_setup(
             " kernels are point-Jacobi only) or the unstructured path"
         )
 
+    fine_gx = fine_op.grid_shape[2]
+
     def _bjac(op_l, dinv_l):
         # real PCBJACOBI on the structured path (-mg_levels_pc_type
         # bjacobi beyond the one-block degeneracy): each bs x bs natural-
@@ -183,11 +185,24 @@ def gamg_setup(
             return None
         from tpusparse.solve.bjacobi import BlockJacobi
 
-        return BlockJacobi.from_bands(
-            op_l.diagonal_field(),
-            op_l.flat_band_fields(params.bjacobi_bs),
-            params.bjacobi_bs,
-        )
+        bs = params.bjacobi_bs
+        bands = op_l.flat_band_fields(bs)
+        if bs == fine_gx:
+            # x-line mode: line relaxation coarsens WITH the grid — each
+            # level smooths its own x-lines (bs = this level's nx), the
+            # textbook multilevel line smoother.  Only the +-1 offsets
+            # couple within a line: any other |o| < bs (e.g. the 27-point
+            # +-(nx-1)/+-(nx+1) wrap diagonals) overlaps a line block only
+            # at rows where leg masking zeroes the band, so dropping them
+            # is exact — and it lets the tridiagonal PCR route recognize
+            # the structure at any size (dense line blocks at 300^3 would
+            # be ~32 GB).
+            bs = op_l.grid_shape[2]
+            bands = {
+                o: f for o, f in op_l.flat_band_fields(bs).items()
+                if abs(o) == 1
+            }
+        return BlockJacobi.from_bands(op_l.diagonal_field(), bands, bs)
 
     tm = {"rho": 0.0, "galerkin": 0.0}
     levels: list[Level] = []

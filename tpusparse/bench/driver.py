@@ -749,6 +749,7 @@ def _solve_poisson_aij(
     float(jnp.vdot(b, b))  # sync (tunnel-safe)
     t_init = time.perf_counter() - t0
 
+    lift_overhead = 0.0  # failed-proof time, charged to the setup phase
     if (
         structure_detect and pc == "gamg"
         and aggregation != "greedy"  # explicit greedy = explicit request
@@ -827,7 +828,7 @@ def _solve_poisson_aij(
                 breakdown={"star_lift": round(lift_s, 4)},
                 t_setup_seed=lift_s,
             )
-        del lift_s
+        lift_overhead = lift_s
 
     if n_devices != 1:
         raise NotImplementedError(
@@ -852,8 +853,10 @@ def _solve_poisson_aij(
         float(_pre.levels[-1].rho)  # sync via scalar fetch (tunnel-safe)
         del _pre
 
-    t0 = time.perf_counter()
+    t0 = time.perf_counter() - lift_overhead
     breakdown: dict = {}
+    if lift_overhead:
+        breakdown["star_lift_refused"] = round(lift_overhead, 4)
     if pc == "gamg":
         pc_state = gamg_setup_unstructured(
             a, params, dtype=lo_dtype if mixed else None,

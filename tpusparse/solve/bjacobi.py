@@ -66,7 +66,6 @@ class BlockJacobi:
                     f"{cls.DENSE_ENTRY_CAP:.3g} cap) and the blocks are "
                     f"not tridiagonal — shrink bs"
                 )
-            pad = nb * bs - n
             tri = np.zeros((3, nb * bs), np.float64)
             tri[off + 1, rows[mask]] = a.data[mask]
             tri[1, n:] = 1.0  # identity tail block

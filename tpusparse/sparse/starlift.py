@@ -33,7 +33,14 @@ from tpusparse.sparse.stencil import StarStencil3D
 
 def _axis_masks(shape):
     """Interior-validity masks per flat offset for a (gz, gy, gx) grid in
-    natural ordering (same leg semantics as StarStencil3D.flat_band_fields).
+    natural ordering.
+
+    Deliberately an INDEPENDENT encoding of the star-leg semantics (not a
+    reuse of ``StarStencil3D.flat_band_fields``): the proof checks the
+    assembled matrix against what the executor will DO, so sharing the
+    executor's own mask code would make the proof circular.  Divergence
+    between the two encodings is pinned by tests/test_starlift.py's
+    bitwise lift-vs-``poisson_stencil`` equality.
     """
     gz, gy, gx = shape
     k = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
@@ -49,15 +56,23 @@ def _axis_masks(shape):
     }
 
 
-@partial(jax.jit, static_argnums=(1, 2))
-def _check_bands(bands, offsets, shape):
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def _check_bands(hi, lo, offsets, shape, promote):
     """Traceable core: given (K, n) bands, decide star-liftability.
 
-    Returns (ok, pinned, cx, cy, cz) as traced scalars.  ``ok`` requires,
-    for each +-u leg pair of each axis: one shared constant on the
-    structurally-valid mask (minus the pin positions when pinned) and
+    ``hi``/``lo``: the band array and its optional two-float residual
+    (DFDIA inputs); ``promote`` promotes to f64 INSIDE the program so the
+    exact value hi+lo is checked without materializing an f64 copy of the
+    operator in HBM — XLA fuses the promotion into the reduction pass.
+
+    Returns (ok, pinned, cx, cy, cz, diag_field) as traced values.  ``ok``
+    requires, for each +-u leg pair of each axis: one shared constant on
+    the structurally-valid mask (minus the pin positions when pinned) and
     exact zeros everywhere else in the band.
     """
+    bands = hi.astype(jnp.float64) if promote else hi
+    if lo is not None:
+        bands = bands + lo.astype(bands.dtype)
     gz, gy, gx = shape
     n = gz * gy * gx
     masks = _axis_masks(shape)
@@ -113,7 +128,8 @@ def _check_bands(bands, offsets, shape):
             else:
                 ok = ok & (c_axis == c)
         cs.append(c_axis if c_axis is not None else zero)
-    return ok, pinned, cs[0], cs[1], cs[2]
+    diag = bands[ki[0]].reshape(shape)
+    return ok, pinned, cs[0], cs[1], cs[2], diag
 
 
 def star_lift(op_lo, op_hi, shape):
@@ -148,23 +164,24 @@ def star_lift(op_lo, op_hi, shape):
     if isinstance(op_hi, DFDIA):
         if tuple(op_hi.offsets) != offsets:
             return None
-        bands = op_hi.hi.astype(jnp.float64)
-        if op_hi.lo is not None:
-            bands = bands + op_hi.lo.astype(jnp.float64)
+        promote = jax.config.jax_enable_x64
+        hi, lo = op_hi.hi, op_hi.lo
     elif isinstance(op_hi, DIA):
         if tuple(op_hi.offsets) != offsets:
             return None
-        bands = op_hi.bands
+        promote = False
+        hi, lo = op_hi.bands, None
     else:
         return None
 
-    ok, pinned, cx, cy, cz = _check_bands(bands, offsets, (gz, gy, gx))
+    ok, pinned, cx, cy, cz, diag_hi = _check_bands(
+        hi, lo, offsets, (gz, gy, gx), promote
+    )
     if not bool(ok):
         return None
     pinned = bool(pinned)
 
     kd = offsets.index(0)
-    diag_hi = bands[kd].reshape(gz, gy, gx)
     star_hi = StarStencil3D(
         diag=diag_hi, cx=cx, cy=cy, cz=cz, pinned=pinned
     )
