@@ -28,9 +28,15 @@ RTOL = 1e-8
 def main() -> None:
     from tpusparse.bench.driver import solve_poisson
 
-    rep = solve_poisson(N, rtol=RTOL, atol=1e-12, pc="gamg", mat_type="aij")
+    # default: production aij (structure detection on — the star proof
+    # lifts this matrix onto the fused structured executor).  --nodetect:
+    # the pure general banded executor, no structural shortcuts.
+    detect = "--nodetect" not in sys.argv
+    rep = solve_poisson(N, rtol=RTOL, atol=1e-12, pc="gamg",
+                        mat_type="aij", structure_detect=detect)
+    tag = "" if detect else "_nodetect"
     result = {
-        "metric": f"poisson{N}_aij_cg_gamg_solve_s",
+        "metric": f"poisson{N}_aij{tag}_cg_gamg_solve_s",
         "value": round(rep.t_solve, 6),
         "unit": "s",
         "vs_baseline": round(BASELINE_SOLVE_S / rep.t_solve, 3),

@@ -163,8 +163,20 @@ def gamg_setup(
 
     if params.nsmooths not in (0, 1):
         raise ValueError("only nsmooths in {0, 1} supported")
-    if params.smoother not in ("richardson", "chebyshev"):
+    if params.smoother not in ("richardson", "chebyshev", "sor"):
         raise ValueError(f"unknown smoother {params.smoother!r}")
+    if params.smoother == "sor":
+        if not hasattr(fine_op, "gs_color_masks"):
+            raise ValueError(
+                f"smoother='sor' needs a colorable grid operator"
+                f" (gs_color_masks); {type(fine_op).__name__} has none —"
+                " use chebyshev/richardson or the structured plain layout"
+            )
+        if params.bjacobi_bs:
+            raise ValueError(
+                "smoother='sor' IS the sub-PC (GS sweeps); it composes"
+                " with point relaxation only — drop bjacobi_bs"
+            )
     if params.bjacobi_bs and not hasattr(fine_op, "flat_band_fields"):
         raise ValueError(
             f"bjacobi_bs: operator {type(fine_op).__name__} exposes no"
@@ -365,7 +377,10 @@ def cast_hierarchy(hier: Hierarchy, dtype) -> Hierarchy:
     )
 
 
-def _smooth(hier: Hierarchy, lev: Level, b: jax.Array, x: jax.Array | None):
+def _smooth(
+    hier: Hierarchy, lev: Level, b: jax.Array, x: jax.Array | None,
+    reverse: bool = False,
+):
     """Apply the level smoother to A x = b starting from x (None = zero).
 
     richardson: x += damping * M^{-1} (b - A x), ``degree`` sweeps
@@ -375,7 +390,28 @@ def _smooth(hier: Hierarchy, lev: Level, b: jax.Array, x: jax.Array | None):
     own default smoother.  M^{-1} is point Jacobi (``lev.dinv``) or real
     block-Jacobi when ``lev.bjac`` is set (``-mg_levels_pc_type bjacobi``
     beyond the one-block degeneracy).
+    sor: multicolor Gauss-Seidel sweeps (PCSOR parity in its standard
+    parallel-machine form): within one color no two points couple
+    (``gs_color_masks``), so a masked simultaneous update is a GS
+    ordering; ``reverse`` runs the colors backwards — the post-smooth in
+    ``vcycle`` uses it so pre/post are transposes of each other (SSOR
+    pairing) and the cycle stays a symmetric CG preconditioner.
     """
+    if hier.smoother == "sor":
+        masks = lev.op.gs_color_masks()
+        if reverse:
+            masks = masks[::-1]
+        omega = hier.damping
+        for _ in range(hier.degree):
+            for m in masks:
+                if x is None:
+                    x = jnp.where(m, omega * lev.dinv * b,
+                                  jnp.zeros_like(b))
+                else:
+                    x = jnp.where(
+                        m, x + omega * lev.dinv * (b - lev.op.mv(x)), x
+                    )
+        return x
     if lev.bjac is not None:
         pc = lev.bjac.apply
     else:
@@ -435,7 +471,7 @@ def vcycle(
         r_c = e_c - _coarse_mv(hier, level + 1, e)
         e = e + vcycle(hier, r_c, level + 1, gamma)
     x = x + lev.transfer.prolong(lev.op, lev.dinv, e)
-    return _smooth(hier, lev, b, x)
+    return _smooth(hier, lev, b, x, reverse=True)
 
 
 def _coarse_mv(hier: Hierarchy, level: int, x: jax.Array) -> jax.Array:

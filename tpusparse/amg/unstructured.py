@@ -225,6 +225,12 @@ def gamg_setup_unstructured(
 
     if params.nsmooths not in (0, 1):
         raise ValueError("only nsmooths in {0, 1} supported")
+    if params.smoother == "sor":
+        raise ValueError(
+            "smoother='sor' (multicolor GS) needs colorable grid"
+            " operators; the unstructured DIA/ELL levels have no coloring"
+            " — use chebyshev/richardson, or the structured path"
+        )
     if device_format not in ("auto", "dia", "ell"):
         raise ValueError(f"unknown device_format {device_format!r}")
     if transfer_format not in ("auto", "factored", "ell"):

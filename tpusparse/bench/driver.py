@@ -305,6 +305,12 @@ def solve_poisson(
     # sub-PC (-pc_bjacobi_bs) routes through the plain XLA cycle, whose
     # hierarchy carries the batched inverted line blocks (amg/hierarchy.py)
     bjac_on = bool(amg_params and getattr(amg_params, "bjacobi_bs", 0))
+    # the fused/padded kernels smooth with point Jacobi only — sor (like
+    # bjacobi) routes through the plain XLA cycle
+    bjac_on = bjac_on or (
+        amg_params is not None
+        and getattr(amg_params, "smoother", "") == "sor"
+    )
     fused_sh_ok = (
         mixed and n_devices > 1 and pc == "gamg" and not bjac_on
         and grid.shape[0] % n_devices == 0
@@ -319,7 +325,7 @@ def solve_poisson(
         if layout == "padded" and bjac_on:
             raise ValueError(
                 "layout='padded' is point-Jacobi only; drop -pc_bjacobi_bs"
-                " or use layout='plain'/'auto'"
+                " / -mg_levels_pc_type sor or use layout='plain'/'auto'"
             )
         padded = mixed and n_devices == 1 and layout == "padded"
         fused_sh = fused_sh_ok and layout == "padded"
@@ -783,7 +789,7 @@ def _solve_poisson_aij(
                 star7_supported,
             )
 
-            bjac_on = bool(params.bjacobi_bs)
+            bjac_on = bool(params.bjacobi_bs) or params.smoother == "sor"
             padded = (
                 mixed and n_devices == 1 and is_tpu_backend()
                 and not bjac_on

@@ -98,11 +98,18 @@ class Options:
     profile: str = ""               # JAX profiler trace dir ('' = off)
 
     def amg_params(self) -> AMGParams:
+        # -mg_levels_pc_type sor selects the multicolor Gauss-Seidel
+        # smoother (PCSOR parity): the richardson(k)+SOR composition IS k
+        # SSOR-paired sweeps, so the sub-PC choice becomes the smoother
+        smoother = (
+            "sor" if self.mg_levels_pc_type == "sor"
+            else self.mg_levels_ksp_type
+        )
         return AMGParams(
             nsmooths=self.pc_gamg_agg_nsmooths,
             threshold=self.pc_gamg_threshold,
             coarse_eq_limit=self.pc_gamg_coarse_eq_limit,
-            smoother=self.mg_levels_ksp_type,
+            smoother=smoother,
             degree=self.mg_levels_ksp_max_it,
             smooth_damping=self.mg_levels_ksp_richardson_scale,
             bjacobi_bs=self.pc_bjacobi_bs,
@@ -160,6 +167,8 @@ class Options:
         degrade("pc_gamg_type", ("agg",), "agg")
         degrade("mg_levels_ksp_type", ("richardson", "chebyshev"),
                 "chebyshev")
+        degrade("mg_levels_pc_type", ("bjacobi", "jacobi", "sor"),
+                "jacobi")
         degrade("pc_mg_cycle_type", ("v", "w"), "v")
         degrade("mg_coarse_ksp_type", ("preonly",), "preonly")
         return self

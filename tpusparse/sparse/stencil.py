@@ -174,6 +174,19 @@ class StarStencil3D:
     def diagonal_field(self) -> jax.Array:
         return self.diag
 
+    def gs_color_masks(self) -> list:
+        """Checkerboard (red-black) coloring: the star stencil couples
+        only opposite (i+j+k) parities, so all same-color points are
+        mutually independent — a masked simultaneous update over one
+        color IS a Gauss-Seidel ordering (multicolor SOR, the standard
+        parallel-machine formulation of PETSc's PCSOR)."""
+        shape = self.diag.shape
+        k = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        j = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        i = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+        p = (k + j + i) % 2
+        return [p == 0, p == 1]
+
     def flat_band_fields(self, max_abs_offset: int) -> dict:
         """{flat offset o: field f with f[p] = A[p, p+o]} for every stencil
         leg with 0 < |o| < ``max_abs_offset`` (natural ordering, p = flat

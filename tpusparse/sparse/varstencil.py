@@ -88,6 +88,18 @@ class VarStencil27:
     def diagonal_field(self) -> jax.Array:
         return self.coef[CENTER]
 
+    def gs_color_masks(self) -> list:
+        """2x2x2 octant (8-color) coloring: a 27-point stencil reaches at
+        most one cell per axis, so points sharing (k%2, j%2, i%2) are
+        mutually independent — each masked simultaneous update is a
+        Gauss-Seidel ordering (multicolor SOR)."""
+        shape = self.grid_shape
+        k = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        j = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        i = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+        c = (k % 2) * 4 + (j % 2) * 2 + (i % 2)
+        return [c == q for q in range(8)]
+
     def flat_band_fields(self, max_abs_offset: int) -> dict:
         """{flat offset o: field f with f[p] = A[p, p+o]} for every stencil
         offset with 0 < |flat o| < ``max_abs_offset``.  Stored coefficients
