@@ -4,13 +4,12 @@ are exact Gauss-Seidel orderings, and the reversed-color post-smooth keeps
 the V-cycle a symmetric CG preconditioner.
 """
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from tpusparse.amg import AMGParams, gamg_setup, vcycle
-from tpusparse.amg.hierarchy import Hierarchy, Level, _smooth
+from tpusparse.amg.hierarchy import _smooth
 from tpusparse.grid.grid3d import Grid3D
 from tpusparse.grid.poisson import poisson_stencil
 from tpusparse.solve import cg
@@ -132,3 +131,25 @@ def test_sor_options_and_driver_e2e():
         16, rtol=1e-8, amg_params=AMGParams(smoother="sor")
     )
     assert rep.reason > 0 and rep.linf_error < 0.03
+
+
+def test_explicit_chebyshev_plus_sor_warns_and_degrades():
+    """PETSc's chebyshev-wrapped SOR is not implemented: explicitly
+    combining the two warns and degrades to SSOR sweeps; plain
+    '-mg_levels_pc_type sor' (ksp_type left at its default) stays
+    silent."""
+    import warnings
+
+    from tpusparse.config.options import load_options
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        o = load_options(["-mg_levels_ksp_type", "chebyshev",
+                          "-mg_levels_pc_type", "sor"])
+    assert o.mg_levels_ksp_type == "richardson"
+    assert any("chebyshev" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        o2 = load_options(["-mg_levels_pc_type", "sor"])
+    assert o2.amg_params().smoother == "sor"
+    assert not any("chebyshev" in str(x.message) for x in w2)

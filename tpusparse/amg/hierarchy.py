@@ -398,6 +398,13 @@ def _smooth(
     pairing) and the cycle stays a symmetric CG preconditioner.
     """
     if hier.smoother == "sor":
+        # COST NOTE: one full mv per color per sweep — 2 mvs on star
+        # levels but 8 on 27-point Galerkin coarse levels (vs chebyshev's
+        # 1 mv per degree).  Coarse grids are 27x+ smaller so the cycle
+        # stays fine-level-dominated, but sor is measurably heavier than
+        # chebyshev per sweep; a per-level smoother choice (sor fine,
+        # chebyshev coarse) would stay symmetric and is the upgrade path
+        # if sor becomes a production config.
         masks = lev.op.gs_color_masks()
         if reverse:
             masks = masks[::-1]
@@ -453,8 +460,11 @@ def vcycle(
     stronger per application, ~2x the coarse-level work).  Smoother per
     ``hier.smoother`` (chebyshev default; richardson+Jacobi =
     reference-config parity); coarse solve: preonly + Jacobi
-    (``configs/PETSc_SolverOptions_GAMG.info:10-21``).  Symmetric (same
-    smoother pre/post), so the cycle is a valid CG preconditioner.
+    (``configs/PETSc_SolverOptions_GAMG.info:10-21``).  Symmetric — the
+    post-smoother is the ADJOINT of the pre-smoother (richardson/
+    chebyshev with a symmetric sub-PC are self-adjoint; sor reverses its
+    color order on the post sweep) — so the cycle is a valid CG
+    preconditioner.  Any new smoother must preserve that pairing.
     """
     lev = hier.levels[level]
     if lev.transfer is None:

@@ -194,6 +194,18 @@ def _pick_ksp(
     )
 
 
+def _plain_cycle_only(params) -> bool:
+    """Smoother configs the fused/padded kernels cannot run (they smooth
+    with point Jacobi only): real block-Jacobi (-pc_bjacobi_bs) and
+    multicolor SOR (-mg_levels_pc_type sor) route through the plain XLA
+    cycle.  Shared by the structured driver and the star-lifted aij
+    route so the gates cannot drift."""
+    return bool(params) and bool(
+        getattr(params, "bjacobi_bs", 0)
+        or getattr(params, "smoother", "") == "sor"
+    )
+
+
 def solve_poisson(
     nx: int,
     ny: int | None = None,
@@ -304,25 +316,20 @@ def solve_poisson(
     # the fused/padded kernels smooth with point Jacobi only; a bjacobi
     # sub-PC (-pc_bjacobi_bs) routes through the plain XLA cycle, whose
     # hierarchy carries the batched inverted line blocks (amg/hierarchy.py)
-    bjac_on = bool(amg_params and getattr(amg_params, "bjacobi_bs", 0))
-    # the fused/padded kernels smooth with point Jacobi only — sor (like
-    # bjacobi) routes through the plain XLA cycle
-    bjac_on = bjac_on or (
-        amg_params is not None
-        and getattr(amg_params, "smoother", "") == "sor"
-    )
+    plain_only = _plain_cycle_only(amg_params)
     fused_sh_ok = (
-        mixed and n_devices > 1 and pc == "gamg" and not bjac_on
+        mixed and n_devices > 1 and pc == "gamg" and not plain_only
         and grid.shape[0] % n_devices == 0
     )
     if layout == "auto":
         padded = (
-            mixed and n_devices == 1 and is_tpu_backend() and not bjac_on
+            mixed and n_devices == 1 and is_tpu_backend()
+            and not plain_only
             and star7_supported(grid.shape, np.float32)
         )
         fused_sh = fused_sh_ok and is_tpu_backend()
     else:
-        if layout == "padded" and bjac_on:
+        if layout == "padded" and plain_only:
             raise ValueError(
                 "layout='padded' is point-Jacobi only; drop -pc_bjacobi_bs"
                 " / -mg_levels_pc_type sor or use layout='plain'/'auto'"
@@ -789,16 +796,16 @@ def _solve_poisson_aij(
                 star7_supported,
             )
 
-            bjac_on = bool(params.bjacobi_bs) or params.smoother == "sor"
+            plain_only = _plain_cycle_only(params)
             padded = (
                 mixed and n_devices == 1 and is_tpu_backend()
-                and not bjac_on
+                and not plain_only
                 and star7_supported(grid.shape, np.float32)
             )
             # multi-device: the structured fused-sharded pipeline (same
             # resolution rule as the structured driver's layout="auto")
             fused_sh = (
-                mixed and n_devices > 1 and not bjac_on
+                mixed and n_devices > 1 and not plain_only
                 and grid.shape[0] % n_devices == 0
                 and is_tpu_backend()
             )

@@ -169,6 +169,25 @@ class Options:
                 "chebyshev")
         degrade("mg_levels_pc_type", ("bjacobi", "jacobi", "sor"),
                 "jacobi")
+        if (
+            self.mg_levels_pc_type == "sor"
+            and self.mg_levels_ksp_type == "chebyshev"
+            # only when chebyshev was EXPLICITLY requested — the field's
+            # default is chebyshev, and plain '-mg_levels_pc_type sor'
+            # should not warn about a wrapper the user never asked for
+            and "mg_levels_ksp_type" in getattr(self, "_provided", ())
+        ):
+            # PETSc's chebyshev+SOR (Chebyshev iteration preconditioned
+            # by SOR) is not implemented; the sor sub-PC selects plain
+            # SSOR sweeps (richardson+sor semantics) — a different
+            # convergence rate, so say so (degradation policy above)
+            warnings.warn(
+                "-mg_levels_ksp_type chebyshev with -mg_levels_pc_type"
+                " sor: chebyshev-wrapped SOR is not implemented; using"
+                " plain SSOR sweeps (richardson+sor semantics)",
+                stacklevel=3,
+            )
+            self.mg_levels_ksp_type = "richardson"
         degrade("pc_mg_cycle_type", ("v", "w"), "v")
         degrade("mg_coarse_ksp_type", ("preonly",), "preonly")
         return self
@@ -276,4 +295,8 @@ def load_options(argv: list[str] | None = None) -> Options:
             f"ignoring unused options (PETSc semantics): {sorted(unknown)}",
             stacklevel=2,
         )
-    return Options(**kwargs).validate()
+    opts = Options(**kwargs)
+    # record which names the user actually set (file or CLI) so validate()
+    # can distinguish explicit requests from dataclass defaults
+    object.__setattr__(opts, "_provided", frozenset(kwargs))
+    return opts.validate()
