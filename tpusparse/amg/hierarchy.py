@@ -484,6 +484,38 @@ def vcycle(
     return _smooth(hier, lev, b, x, reverse=True)
 
 
+def fmg(hier: Hierarchy, b: jax.Array, n_v: int = 1) -> jax.Array:
+    """Full-multigrid pass (FMG / nested iteration — PETSc
+    ``-pc_mg_type full``'s cycle shape): restrict the right-hand side
+    through the hierarchy, solve the coarsest problem, then at each finer
+    level interpolate the coarse solution up and apply ``n_v`` V-cycles.
+
+    MEASURED HONESTY (CPU, 48^3/96^3 Poisson): with smoothed-AGGREGATION
+    transfers the interpolation order is too low for the textbook
+    "FMG = discretization accuracy in one pass" result — one pass lands
+    at ~0.25 relative residual (~ one V-cycle's worth), so using it as a
+    warm start for the rtol-1e-8 defect correction saves ~1 CG iteration
+    while costing ~n_v cycles: a wash, and NOT wired into the production
+    driver (results/README.md exploration record).  Kept as the
+    nested-iteration capability for geometric-quality transfer hierarchies
+    and PCMG-full parity experiments.
+    """
+    bs = [b]
+    for lev in hier.levels[:-1]:
+        bs.append(lev.transfer.restrict(lev.op, lev.dinv, bs[-1]))
+    lev_c = hier.levels[-1]
+    x = (
+        lev_c.bjac.apply(bs[-1]) if lev_c.bjac is not None
+        else lev_c.dinv * bs[-1]
+    )
+    for l in range(len(hier.levels) - 2, -1, -1):
+        lev = hier.levels[l]
+        x = lev.transfer.prolong(lev.op, lev.dinv, x)
+        for _ in range(n_v):
+            x = x + vcycle(hier, bs[l] - lev.op.mv(x), level=l)
+    return x
+
+
 def _coarse_mv(hier: Hierarchy, level: int, x: jax.Array) -> jax.Array:
     return hier.levels[level].op.mv(x)
 
