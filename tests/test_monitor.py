@@ -139,6 +139,39 @@ def test_cli_log_view(capsys):
     assert "GFLOP/s" in out and "solve" in out
 
 
+def test_cli_converged_reason(capsys):
+    """-ksp_converged_reason: PETSc's KSPConvergedReasonView line
+    ('Linear solve converged due to CONVERGED_RTOL iterations N')."""
+    from tpusparse.__main__ import main
+
+    rc = main(
+        ["-da_grid_x", "12", "-da_grid_y", "12", "-da_grid_z", "12",
+         "-ksp_converged_reason", "-ksp_rtol", "1e-6", "-precision", "f64"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    m = re.search(
+        r"Linear solve converged due to (CONVERGED_\w+) iterations (\d+)",
+        out,
+    )
+    assert m, out
+    # the iteration count in the reason line matches the summary block
+    assert f"Number of iterations: {m.group(2)}" in out
+
+
+def test_converged_reason_line_negative():
+    """A negative reason renders as 'did not converge' with the enum name."""
+    from tpusparse.bench.driver import SolveReport
+    from tpusparse.solve.cg import ConvergedReason
+
+    rep = SolveReport.__new__(SolveReport)
+    rep.reason = int(ConvergedReason.DIVERGED_ITS)
+    rep.iters = 10000
+    line = rep.converged_reason_line()
+    assert "did not converge" in line
+    assert "DIVERGED_ITS" in line and "10000" in line
+
+
 def test_cli_richardson_monitor(capsys):
     """The VERDICT done-criterion: python -m tpusparse -ksp_type richardson
     -ksp_monitor runs."""

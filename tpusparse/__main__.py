@@ -13,10 +13,16 @@ format was the metrics API; we keep it AND emit structured data).
 
 from __future__ import annotations
 
+import os
 import sys
 
 import jax
 
+if os.environ.get("JAX_PLATFORMS"):
+    # honor JAX_PLATFORMS even when an ambient TPU plugin (axon) would
+    # otherwise win the backend election (same policy as bench/scaling.py:
+    # the env var alone does not override an installed plugin in-process)
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/tpusparse_xla")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
@@ -59,6 +65,11 @@ def main(argv: list[str] | None = None) -> int:
         # PETSc streams these during KSPSolve; our solve is one compiled
         # program, so the recorded history prints before the summary block
         print(rep.monitor_block())
+    if opts.ksp_converged_reason:
+        # PETSc prints this line from KSPSolve when -ksp_converged_reason
+        # is set (KSPConvergedReasonView) — after the solve, before the
+        # driver's own summary block
+        print(rep.converged_reason_line())
     print(rep.reference_block())
     if opts.log_view:
         print(rep.log_view())

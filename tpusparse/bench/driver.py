@@ -94,6 +94,25 @@ class SolveReport:
             for i, r in enumerate(self.residual_history)
         )
 
+    def converged_reason_line(self) -> str:
+        """PETSc ``-ksp_converged_reason`` output: 'Linear solve converged
+        due to CONVERGED_RTOL iterations 34' (KSPConvergedReasonView
+        format; the reason name from the shared enum, including the
+        TPU-extension CONVERGED_STALLED)."""
+        from tpusparse.solve.cg import ConvergedReason
+
+        try:
+            name = ConvergedReason(self.reason).name
+        except ValueError:
+            name = str(self.reason)
+        verdict = (
+            "converged" if self.reason > 0 else "did not converge"
+        )
+        return (
+            f"Linear solve {verdict} due to {name}"
+            f" iterations {self.iters}"
+        )
+
     def reference_block(self) -> str:
         """The reference's exact output contract (src/main_ksp.cpp:124-129)."""
         return (

@@ -42,6 +42,8 @@ class Options:
     # -ksp_monitor: '  %d KSP Residual norm %e' lines + JSON sidecar field)
     ksp_view: bool = False          # print the solver/PC configuration
     # (PETSc -ksp_view / KSPView+PCView parity)
+    ksp_converged_reason: bool = False  # print 'Linear solve converged
+    # due to ...' (PETSc -ksp_converged_reason parity)
     log_view: bool = False          # print the performance summary
     # (PETSc -log_view parity: phase times + flop accounting)
     ksp_richardson_scale: float = 1.0  # top-level KSPRICHARDSON damping
