@@ -17,6 +17,7 @@ transfer, overlap, stream pipelining) are structural properties here.
 __version__ = "0.1.0"
 
 from tpusparse.grid.grid3d import Grid3D
+from tpusparse.ksp import KSP, KSPResult
 from tpusparse.sparse.csr import HostCSR
 from tpusparse.sparse.ell import ELL
 from tpusparse.sparse.stencil import StarStencil3D
@@ -25,6 +26,8 @@ __all__ = [
     "Grid3D",
     "HostCSR",
     "ELL",
+    "KSP",
+    "KSPResult",
     "StarStencil3D",
     "__version__",
 ]

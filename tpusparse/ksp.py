@@ -1,0 +1,462 @@
+"""KSP — the PETSc-style reusable solver object.
+
+The reference's driver is seven API calls (``src/main_ksp.cpp:92-117``):
+``KSPCreate``, ``KSPSetOperators(A, A)``, ``KSPSetType(KSPCG)``,
+``KSPSetReusePreconditioner(PETSC_TRUE)``, ``KSPSetFromOptions``,
+``KSPSetUp``, ``KSPSolve`` — then ``KSPGetIterationNumber`` /
+``KSPGetResidualNorm`` / ``KSPGetConvergedReason``.  ``KSP`` is that
+object for tpusparse: construct once (optionally from an ``Options``),
+attach an operator, and call ``solve(b)`` as many times as you like.
+The AMG hierarchy built by ``setup()`` and the compiled solve program
+are REUSED across right-hand sides and — with
+``reuse_preconditioner=True``, the reference's own setting
+(``main_ksp.cpp:95``) — across operator swaps, which is precisely what
+``KSPSetReusePreconditioner`` buys PETSc users: pay KSPSetUp once and
+amortize it over every subsequent solve.
+
+The heavy lifting lives in the same modules the benchmark driver uses —
+``amg.hierarchy.gamg_setup_compiled`` (structured stencil operators),
+``amg.unstructured.gamg_setup_unstructured`` (general matrices),
+``solve.refine.cg_refined`` (mixed-precision defect correction), the
+fused padded pipeline (``amg/fused_cycle.py``) — so the object API and
+the CLI driver cannot drift apart numerically.
+
+Example::
+
+    from tpusparse import KSP
+    from tpusparse.grid import Grid3D
+    from tpusparse.grid.poisson import poisson_stencil_device
+
+    op, b, exact = poisson_stencil_device(Grid3D(96, 96, 96))
+    ksp = KSP(rtol=1e-8)              # CG + GAMG, mixed precision
+    ksp.set_operators(op)
+    x = ksp.solve(b).x                # KSPSetUp happens here, once
+    x2 = ksp.solve(2.0 * b).x         # reuses hierarchy AND program
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["KSP", "KSPResult"]
+
+
+@dataclasses.dataclass
+class KSPResult:
+    """What ``KSPSolve`` leaves behind (the Get* accessors' data)."""
+
+    x: jax.Array
+    iters: int           # KSPGetIterationNumber
+    resnorm: float       # KSPGetResidualNorm
+    reason: int          # KSPGetConvergedReason (PETSc numbering)
+    outer_iters: int = 0  # defect-correction sweeps (mixed precision only)
+
+    @property
+    def converged(self) -> bool:
+        return self.reason > 0
+
+
+def _op_kind(op) -> str:
+    """'structured' (star-stencil family), 'general' (assembled banded
+    containers), or 'opaque' (anything with an ``mv``)."""
+    from tpusparse.sparse.dia import DFDIA, DIA, HybridDIA
+    from tpusparse.sparse.padded import PaddedStar
+    from tpusparse.sparse.stencil import StarStencil3D, StarStencilDF
+
+    if isinstance(op, (StarStencil3D, StarStencilDF, PaddedStar)):
+        return "structured"
+    if isinstance(op, (DIA, HybridDIA, DFDIA)):
+        return "general"
+    return "opaque"
+
+
+def _cast_floating(op, dtype):
+    """A same-structure twin of ``op`` with floating leaves cast to
+    ``dtype`` (integer index arrays and aux data pass through)."""
+    def cast(leaf):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
+            return leaf.astype(dtype)
+        return leaf
+
+    return jax.tree.map(cast, op)
+
+
+class KSP:
+    """Reusable Krylov solver object (PETSc ``KSP`` parity).
+
+    Parameters mirror the options the CLI accepts (``config/options.py``):
+    ``ksp_type`` (cg | pipecg | gmres | fgmres | bcgs | richardson |
+    preonly), ``pc_type`` (gamg | jacobi | none), tolerances, and
+    ``precision`` ("mixed" = f32 inner solves under f64 defect
+    correction — the production mode; "f64"/"f32" uniform).
+
+    ``reuse_preconditioner=True`` is ``KSPSetReusePreconditioner``
+    (``main_ksp.cpp:95``): once ``setup()`` has built the hierarchy,
+    later ``set_operators`` calls keep it (the new operator is applied,
+    the old preconditioner preconditions — PETSc's exact semantics).
+
+    ``error_if_not_converged`` is ``-ksp_error_if_not_converged``: raise
+    ``DivergedError`` on a negative reason instead of returning it.
+    """
+
+    def __init__(
+        self,
+        *,
+        ksp_type: str = "cg",
+        pc_type: str = "gamg",
+        rtol: float = 1e-14,
+        atol: float = 1e-12,
+        maxiter: int = 10000,
+        precision: str = "mixed",
+        amg_params=None,
+        mg_cycle: str = "v",
+        reuse_preconditioner: bool = True,
+        gmres_restart: int = 30,
+        richardson_scale: float = 1.0,
+        layout: str = "auto",
+        error_if_not_converged: bool = False,
+    ):
+        from tpusparse.amg import AMGParams
+        from tpusparse.bench.driver import _pick_ksp
+
+        if precision not in ("mixed", "f64", "f32"):
+            raise ValueError(f"unknown precision {precision!r}")
+        if pc_type not in ("gamg", "jacobi", "none"):
+            raise ValueError(f"unknown pc_type {pc_type!r}")
+        if mg_cycle not in ("v", "w"):
+            raise ValueError(f"unknown mg_cycle {mg_cycle!r}")
+        if layout not in ("auto", "padded", "plain"):
+            raise ValueError(f"unknown layout {layout!r}")
+        self.ksp_type = ksp_type
+        self.pc_type = pc_type
+        self.rtol = rtol
+        self.atol = atol
+        self.maxiter = maxiter
+        self.precision = precision
+        self.amg_params = amg_params or AMGParams()
+        self.mg_cycle = mg_cycle
+        self.reuse_preconditioner = reuse_preconditioner
+        self.layout = layout
+        self.error_if_not_converged = error_if_not_converged
+        # resolved solver callable (validates ksp_type eagerly, like
+        # KSPSetType)
+        self._ksp_solve = _pick_ksp(
+            ksp_type, precision, gmres_restart, richardson_scale
+        )
+        self._op = None          # hi-precision operator (the A of Ax=b)
+        self._op_lo = None       # low-precision twin (inner solves / PC)
+        self._host_a = None      # optional HostCSR (greedy aggregation)
+        self._pc_state = None    # hierarchy / inverse-diagonal / ()
+        self._m_of = None
+        self._encode = None      # padded-layout translators
+        self._decode = None
+        self._jitted = None
+        self._jitted_x0 = None
+        self._last: KSPResult | None = None
+
+    @classmethod
+    def from_options(cls, opts) -> "KSP":
+        """KSPSetFromOptions: build from a ``config.Options`` (file/CLI)."""
+        return cls(
+            ksp_type=opts.ksp_type,
+            pc_type=opts.pc_type,
+            rtol=opts.ksp_rtol,
+            atol=opts.ksp_atol,
+            maxiter=opts.ksp_max_it,
+            precision=opts.precision,
+            amg_params=(
+                opts.amg_params() if opts.pc_type == "gamg" else None
+            ),
+            mg_cycle=opts.pc_mg_cycle_type,
+            gmres_restart=opts.ksp_gmres_restart,
+            richardson_scale=opts.ksp_richardson_scale,
+            layout=opts.layout,
+        )
+
+    # -- KSPSetOperators ---------------------------------------------------
+
+    def set_operators(self, a: Any, a_lo: Any = None) -> "KSP":
+        """KSPSetOperators(ksp, A, A): attach the operator.
+
+        ``a`` may be a ``StarStencil3D`` (structured fast path), a
+        ``DIA``/``HybridDIA``/``DFDIA`` banded container (general-matrix
+        path), a ``HostCSR``/``scipy.sparse`` matrix (converted to banded
+        device form; also enables greedy aggregation), or any object with
+        an ``mv`` method (``pc_type`` jacobi additionally needs
+        ``diagonal()``; gamg needs one of the known container types).
+
+        ``a_lo``: optional low-precision twin for mixed precision
+        (defaults to a float32 cast of ``a``).  With
+        ``reuse_preconditioner`` (default) an existing hierarchy is KEPT —
+        the PETSc semantics the reference relies on; pass
+        ``reuse_preconditioner=False`` at construction to rebuild the PC
+        per operator.
+        """
+        from tpusparse.sparse.csr import HostCSR
+
+        self._host_a = None
+        if isinstance(a, HostCSR) or not hasattr(a, "mv"):
+            # host matrix: HostCSR or anything scipy can make a CSR of
+            from tpusparse.sparse.dia import DIA
+
+            if not isinstance(a, HostCSR):
+                import scipy.sparse as sp
+
+                a = HostCSR.from_scipy(sp.csr_matrix(a))
+            self._host_a = a
+            mixed = self.precision == "mixed"
+            if mixed:
+                # one f32 upload serves both precisions (the driver's
+                # DFDIA trick): f32 bands are the hierarchy fine operator
+                # AND the hi half of the two-float outer operator
+                from tpusparse.sparse.dia import DFDIA
+
+                bands64, offsets, shp = DIA.host_bands(a)
+                bands32 = jax.device_put(bands64.astype(np.float32))
+                a_lo = DIA(bands=bands32, offsets=offsets, shape=shp)
+                a = DFDIA.from_host_bands(
+                    bands64, offsets, shp, hi_dev=bands32
+                )
+            else:
+                dt = np.float32 if self.precision == "f32" else None
+                a = DIA.from_csr(a, dtype=dt)
+                a_lo = a
+        self._op = a
+        if a_lo is not None:
+            self._op_lo = a_lo
+        elif self.precision == "mixed":
+            self._op_lo = _cast_floating(a, jnp.float32)
+        else:
+            self._op_lo = a
+        if not self.reuse_preconditioner:
+            self._pc_state = None
+            self._m_of = None
+        return self
+
+    # -- KSPSetUp ----------------------------------------------------------
+
+    def setup(self) -> "KSP":
+        """KSPSetUp: build the preconditioner (idempotent; with
+        ``reuse_preconditioner`` an existing hierarchy is kept)."""
+        if self._op is None:
+            raise RuntimeError("call set_operators before setup/solve")
+        if self._pc_state is not None and self.reuse_preconditioner:
+            return self
+        kind = _op_kind(self._op_lo)
+        gamma = 1 if self.mg_cycle == "v" else 2
+        mixed = self.precision == "mixed"
+
+        if self.pc_type == "gamg":
+            from tpusparse.amg.hierarchy import vcycle
+
+            if kind == "structured":
+                from tpusparse.amg.hierarchy import gamg_setup_compiled
+                from tpusparse.bench.driver import _plain_cycle_only
+                from tpusparse.kernels.stencil7 import (
+                    is_tpu_backend,
+                    star7_supported,
+                )
+
+                op_lo = self._op_lo
+                grid_shape = op_lo.grid_shape
+                padded = (
+                    mixed
+                    and not _plain_cycle_only(self.amg_params)
+                    and star7_supported(grid_shape, np.float32)
+                    and (
+                        self.layout == "padded"
+                        or (self.layout == "auto" and is_tpu_backend())
+                    )
+                )
+                if padded:
+                    from functools import partial
+
+                    from tpusparse.sparse.padded import (
+                        PaddedStar,
+                        crop_field,
+                        pad_field,
+                    )
+
+                    op_lo = PaddedStar.from_star(op_lo)
+                    self._op_lo = op_lo
+                    self._encode = pad_field
+                    self._decode = partial(crop_field, shape=grid_shape)
+                self._pc_state = gamg_setup_compiled(op_lo, self.amg_params)
+                if padded:
+                    from tpusparse.amg.fused_cycle import (
+                        preflight,
+                        vcycle_fused,
+                    )
+                    from tpusparse.amg.hierarchy import cast_coarse_coefs
+
+                    self._pc_state = cast_coarse_coefs(self._pc_state)
+                    if preflight(self._pc_state):
+                        self._m_of = lambda ps: (
+                            lambda r: vcycle_fused(ps, r, gamma=gamma)
+                        )
+                    else:
+                        self._m_of = lambda ps: (
+                            lambda r: vcycle(ps, r, gamma=gamma)
+                        )
+                else:
+                    self._m_of = lambda ps: (
+                        lambda r: vcycle(ps, r, gamma=gamma)
+                    )
+            elif kind == "general":
+                from tpusparse.amg.unstructured import (
+                    gamg_setup_unstructured,
+                )
+
+                self._pc_state = gamg_setup_unstructured(
+                    self._host_a,
+                    self.amg_params,
+                    dtype=np.float32 if mixed else None,
+                    fine_op=self._op_lo,
+                )
+                # the hierarchy's fine operator is the (possibly
+                # container-upgraded) inner-apply form
+                self._op_lo = self._pc_state.levels[0].op
+                self._m_of = lambda ps: (
+                    lambda r: vcycle(ps, r, gamma=gamma)
+                )
+            else:
+                raise ValueError(
+                    "pc_type='gamg' needs a StarStencil3D, DIA-family, or"
+                    " HostCSR/scipy operator — got"
+                    f" {type(self._op).__name__}"
+                )
+        elif self.pc_type == "jacobi":
+            diag = (
+                self._op_lo.diagonal_field()
+                if hasattr(self._op_lo, "diagonal_field")
+                else self._op_lo.diagonal()
+            )
+            self._pc_state = 1.0 / diag
+            self._m_of = lambda ps: (lambda r: ps * r)
+        else:  # none
+            self._pc_state = jnp.zeros(())
+            self._m_of = lambda ps: None
+        self._jitted = None  # the solve program closes over m_of's shape
+        return self
+
+    # -- KSPSolve ----------------------------------------------------------
+
+    def _build_solve(self, x0_mode: bool = False):
+        """The compiled solve program.  ``x0_mode`` solves the DEFECT
+        system A dx = b - A x0 but keeps the convergence gate relative to
+        the ORIGINAL right-hand side (PETSc's default rnorm0 = ||b||): the
+        tolerance arrives as a traced ``max(rtol*||b_orig||, atol)``
+        absolute gate, so a good warm start exits immediately."""
+        mixed = self.precision == "mixed"
+        m_of = self._m_of
+        encode, decode = self._encode, self._decode
+        rtol, atol, maxiter = self.rtol, self.atol, self.maxiter
+        ksp_solve = self._ksp_solve
+        if mixed:
+            from tpusparse.solve.refine import cg_refined
+
+            def solve_fn(op_hi, op_lo, pc_state, b, bnorm_ref=None):
+                kw = dict(rtol=rtol, atol=atol)
+                if bnorm_ref is not None:
+                    kw = dict(rtol=0.0, atol=jnp.maximum(
+                        rtol * bnorm_ref, atol))
+                return cg_refined(
+                    op_hi.mv, op_lo.mv, b,
+                    m_lo_mv=m_of(pc_state), encode=encode, decode=decode,
+                    solver=ksp_solve, **kw,
+                )
+        else:
+            def solve_fn(op_hi, op_lo, pc_state, b, bnorm_ref=None):
+                kw = dict(rtol=rtol, atol=atol)
+                if bnorm_ref is not None:
+                    kw = dict(rtol=0.0, atol=jnp.maximum(
+                        rtol * bnorm_ref, atol))
+                return ksp_solve(
+                    op_hi.mv, b, maxiter=maxiter,
+                    m_mv=m_of(pc_state), **kw,
+                )
+        # operators/hierarchy ride as ARGUMENTS (closures would bake the
+        # band data into the HLO as literals — driver.py:416 note)
+        if x0_mode:
+            return jax.jit(solve_fn)
+        return jax.jit(
+            lambda op_hi, op_lo, pc_state, b: solve_fn(
+                op_hi, op_lo, pc_state, b
+            )
+        )
+
+    def solve(self, b: jax.Array, x0: jax.Array | None = None) -> KSPResult:
+        """KSPSolve: solve A x = b.  Repeated calls reuse the hierarchy
+        and the compiled program (only a shape/dtype change retraces).
+
+        ``x0``: optional nonzero initial guess
+        (``KSPSetInitialGuessNonzero`` parity) — solved as the defect
+        system A dx = b - A x0 so every solver/precision mode supports it.
+        """
+        self.setup()
+        # structured operators apply on the 3-D field view; accept flat
+        # vectors and answer in kind
+        flat_in = False
+        gshape = getattr(self._op, "grid_shape", None)
+        if gshape is not None and b.ndim == 1:
+            b = b.reshape(gshape)
+            flat_in = True
+            if x0 is not None:
+                x0 = x0.reshape(gshape)
+        if x0 is not None:
+            if self._jitted_x0 is None:
+                self._jitted_x0 = self._build_solve(x0_mode=True)
+            bnorm_ref = jnp.linalg.norm(b.reshape(-1))  # ORIGINAL rhs norm
+            b = b - self._op.mv(x0)
+            res = self._jitted_x0(
+                self._op, self._op_lo, self._pc_state, b, bnorm_ref
+            )
+        else:
+            if self._jitted is None:
+                self._jitted = self._build_solve()
+            res = self._jitted(self._op, self._op_lo, self._pc_state, b)
+        x = res.x if x0 is None else res.x + x0
+        if flat_in:
+            x = x.reshape(-1)
+        out = KSPResult(
+            x=x,
+            iters=int(res.iters),
+            resnorm=float(res.resnorm),
+            reason=int(res.reason),
+            outer_iters=int(getattr(res, "outer_iters", 0)),
+        )
+        self._last = out
+        if self.error_if_not_converged and out.reason < 0:
+            from tpusparse.bench.driver import DivergedError
+
+            raise DivergedError(f"Diverged reason: {out.reason}")
+        return out
+
+    # -- Get* accessors (main_ksp.cpp:114-117) ------------------------------
+
+    @property
+    def iterations(self) -> int:
+        """KSPGetIterationNumber (of the most recent solve)."""
+        self._require_solved()
+        return self._last.iters
+
+    @property
+    def residual_norm(self) -> float:
+        """KSPGetResidualNorm (of the most recent solve)."""
+        self._require_solved()
+        return self._last.resnorm
+
+    @property
+    def converged_reason(self) -> int:
+        """KSPGetConvergedReason (of the most recent solve)."""
+        self._require_solved()
+        return self._last.reason
+
+    def _require_solved(self):
+        if self._last is None:
+            raise RuntimeError("no solve has run yet")
