@@ -152,11 +152,14 @@ class KSP:
         self._op_lo = None       # low-precision twin (inner solves / PC)
         self._host_a = None      # optional HostCSR (greedy aggregation)
         self._pc_state = None    # hierarchy / inverse-diagonal / ()
+        self._op_lo_plain = None  # pre-padding operator (mat_solve twin)
+        self._pc_state_plain = None  # plain-layout hierarchy (mat_solve)
         self._m_of = None
         self._encode = None      # padded-layout translators
         self._decode = None
         self._jitted = None
         self._jitted_x0 = None
+        self._jitted_multi = None
         self._last: KSPResult | None = None
 
     @classmethod
@@ -263,6 +266,7 @@ class KSP:
                 )
 
                 op_lo = self._op_lo
+                self._op_lo_plain = op_lo  # pre-padding twin (mat_solve)
                 grid_shape = op_lo.grid_shape
                 padded = (
                     mixed
@@ -436,6 +440,88 @@ class KSP:
 
             raise DivergedError(f"Diverged reason: {out.reason}")
         return out
+
+    def mat_solve(self, b_block: jax.Array) -> "Any":
+        """KSPMatSolve parity: solve A X = B for a BLOCK of right-hand
+        sides in one batched program — ``b_block`` stacks the columns on
+        axis 0 ((k, n) flat or (k, nz, ny, nx) fields).  One batched
+        stencil/band apply streams the operator coefficients once for all
+        k columns; converged columns are masked-frozen while the rest
+        finish (``solve/multi.py``).  Returns a ``MultiResult`` with
+        per-column iterations/residuals/reasons.
+
+        Uses the plain XLA V-cycle (the fused Pallas kernels are
+        single-field programs) and requires ``ksp_type='cg'``.
+        """
+        if self.ksp_type != "cg":
+            raise ValueError(
+                "mat_solve supports ksp_type='cg' (block CG); got"
+                f" {self.ksp_type!r}"
+            )
+        self.setup()
+        gshape = getattr(self._op, "grid_shape", None)
+        flat_in = False
+        if gshape is not None and b_block.ndim == 2:
+            b_block = b_block.reshape((b_block.shape[0], *gshape))
+            flat_in = True
+        mixed = self.precision == "mixed"
+        gamma = 1 if self.mg_cycle == "v" else 2
+        rtol, atol, maxiter = self.rtol, self.atol, self.maxiter
+
+        # the batched program vmaps the single-column applies, so every
+        # container must run its XLA form: the padded/fused layout's
+        # Pallas kernels are single-field programs.  When setup() chose
+        # the padded layout, build (once) a PLAIN twin hierarchy from the
+        # pre-padding operator.
+        op_lo, pc_state = self._op_lo, self._pc_state
+        if self._encode is not None:
+            if self._pc_state_plain is None:
+                from tpusparse.amg.hierarchy import gamg_setup_compiled
+
+                self._pc_state_plain = gamg_setup_compiled(
+                    self._op_lo_plain, self.amg_params
+                )
+            op_lo, pc_state = self._op_lo_plain, self._pc_state_plain
+
+        # preconditioner: always the plain (vmappable) form — never the
+        # fused kernel closure self._m_of may hold
+        if self.pc_type == "gamg":
+            from tpusparse.amg.hierarchy import vcycle
+
+            m_of = lambda ps: (lambda r: vcycle(ps, r, gamma=gamma))
+        elif self.pc_type == "jacobi":
+            m_of = lambda ps: (lambda r: ps * r)
+        else:
+            m_of = lambda ps: None
+
+        if self._jitted_multi is None:
+            from tpusparse.solve.multi import cg_multi, refined_multi
+
+            if mixed:
+                def solve_fn(op_hi, op_lo, pc_state, bb):
+                    return refined_multi(
+                        op_hi.mv, op_lo.mv, bb, rtol=rtol, atol=atol,
+                        m_lo_mv=m_of(pc_state),
+                    )
+            else:
+                def solve_fn(op_hi, op_lo, pc_state, bb):
+                    return cg_multi(
+                        op_hi.mv, bb, rtol=rtol, atol=atol,
+                        maxiter=maxiter, m_mv=m_of(pc_state),
+                    )
+            self._jitted_multi = jax.jit(solve_fn)
+        res = self._jitted_multi(self._op, op_lo, pc_state, b_block)
+        if flat_in:
+            res = dataclasses.replace(
+                res, x=res.x.reshape((res.x.shape[0], -1))
+            )
+        if self.error_if_not_converged and bool(jnp.any(res.reason < 0)):
+            from tpusparse.bench.driver import DivergedError
+
+            raise DivergedError(
+                f"Diverged reasons: {np.asarray(res.reason).tolist()}"
+            )
+        return res
 
     # -- Get* accessors (main_ksp.cpp:114-117) ------------------------------
 

@@ -4,6 +4,7 @@ from tpusparse.solve.cg import CGResult, ConvergedReason, cg, cg_hostloop
 from tpusparse.solve.checkpoint import CheckpointConfig, cg_checkpointed
 from tpusparse.solve.fgmres import fgmres
 from tpusparse.solve.gmres import gmres
+from tpusparse.solve.multi import MultiResult, cg_multi, refined_multi
 from tpusparse.solve.pipelined import cg_pipelined
 from tpusparse.solve.refine import RefinedResult, cg_refined, cg_refined_tf
 from tpusparse.solve.simple import preonly, richardson
@@ -18,6 +19,9 @@ __all__ = [
     "cg_refined",
     "cg_refined_tf",
     "cg_checkpointed",
+    "cg_multi",
+    "refined_multi",
+    "MultiResult",
     "richardson",
     "preonly",
     "BlockJacobi",
