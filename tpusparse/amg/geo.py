@@ -425,7 +425,15 @@ def gamg_setup_geo(fine_op, shape, params, timings: dict | None = None):
             or all(b == 1 for b in bs)
         )
         if last:
-            levels.append(Level(op=op, dinv=dinv, rho=rho, transfer=None))
+            from tpusparse.amg.hierarchy import dense_coarse_inverse
+
+            levels.append(Level(
+                op=op, dinv=dinv, rho=rho, transfer=None,
+                coarse_inv=(
+                    dense_coarse_inverse(op)
+                    if params.coarse_solve == "lu" else None
+                ),
+            ))
             break
         omega = (
             params.omega_scale / rho

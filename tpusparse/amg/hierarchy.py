@@ -64,11 +64,18 @@ class AMGParams:
     # coarsens ~50-60x.  (The structured path's geometric 3^3 aggregation
     # is unaffected.)
     aggressive_coarsening: int = 1
+    # coarsest-level solve: "jacobi" (preonly + (block-)Jacobi — the
+    # reference config's own choice, configs/…GAMG.info:10-21) or "lu"
+    # (-mg_coarse_pc_type lu: dense direct solve — PETSc GAMG's default
+    # coarse PC is a direct factorization; here the coarsest operator is
+    # materialized by one vmapped apply over the identity basis and
+    # inverted once at setup, applied as an MXU matmul per cycle)
+    coarse_solve: str = "jacobi"
 
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["op", "dinv", "rho", "transfer", "bjac"],
+    data_fields=["op", "dinv", "rho", "transfer", "bjac", "coarse_inv"],
     meta_fields=[],
 )
 @dataclasses.dataclass
@@ -80,6 +87,8 @@ class Level:
     bjac: object | None = None           # BlockJacobi smoother sub-PC
     # (None = point Jacobi; set by the unstructured setup when
     # AMGParams.bjacobi_bs > 0)
+    coarse_inv: jax.Array | None = None  # dense inverse of the coarsest
+    # operator (AMGParams.coarse_solve == "lu"; None everywhere else)
 
 
 @partial(
@@ -150,6 +159,48 @@ def estimate_rho_dinv_a(
     return jnp.vdot(v, w)  # Rayleigh quotient (v normalized)
 
 
+def dense_coarse_inverse(op) -> jax.Array:
+    """Materialize a (small) operator densely and invert it —
+    the ``-mg_coarse_pc_type lu`` coarse solve.
+
+    One vmapped apply over the identity basis gives all n columns in a
+    single batched program (n <= coarse_eq_limit keeps it trivial); the
+    inverse is computed once at setup and applied as a dense matmul per
+    cycle.  Containers with a selectable backend are forced onto their
+    pure-XLA apply (Pallas kernels are single-field programs and do not
+    batch under vmap on this toolchain).  Rows that are identically zero
+    (padded layouts realize pads as zero rows) are replaced by identity
+    rows: the cycle's vectors carry zeros there, so the solve is exact on
+    the true unknowns and leaves pads at zero.
+    """
+    xla_op = (
+        dataclasses.replace(op, backend="xla")
+        if hasattr(op, "backend") else op
+    )
+    gs = getattr(op, "grid_shape", None)
+    if gs is not None:
+        n = int(np.prod(gs))
+        eye = jnp.eye(n, dtype=op.dtype).reshape((n, *gs))
+        cols = jax.vmap(xla_op.mv)(eye).reshape(n, n)
+    else:
+        n = op.shape[0]
+        eye = jnp.eye(n, dtype=op.dtype)
+        cols = jax.vmap(xla_op.mv)(eye)
+    dense = cols.T  # row i of the vmap output is A @ e_i
+    zero_row = jnp.abs(dense).sum(axis=1) == 0
+    dense = dense + jnp.diag(zero_row.astype(dense.dtype))
+    return jnp.linalg.inv(dense)
+
+
+def _coarse_direct(lev: Level, b: jax.Array) -> jax.Array:
+    """Apply the dense coarse inverse (field or flat view)."""
+    gs = getattr(lev.op, "grid_shape", None)
+    if gs is not None:
+        return (lev.coarse_inv @ b.reshape(-1).astype(
+            lev.coarse_inv.dtype)).astype(b.dtype).reshape(gs)
+    return (lev.coarse_inv @ b.astype(lev.coarse_inv.dtype)).astype(b.dtype)
+
+
 def gamg_setup(
     fine_op, params: AMGParams = AMGParams(), timings: dict | None = None
 ) -> Hierarchy:
@@ -183,6 +234,23 @@ def gamg_setup(
             " x-band accessor — use layout='plain' (the padded/fused"
             " kernels are point-Jacobi only) or the unstructured path"
         )
+    if params.coarse_solve not in ("jacobi", "lu"):
+        raise ValueError(f"unknown coarse_solve {params.coarse_solve!r}")
+    coarse_lu = params.coarse_solve == "lu"
+    if coarse_lu and getattr(fine_op, "true_shape", None) is not None:
+        # padded hierarchies keep the pad columns at every level, so the
+        # coarsest "n" is the padded size (x padded to the 128-lane tile)
+        # — a dense inverse there would be orders too large.  Degrade to
+        # the jacobi coarse solve with a trace-time warning.
+        import warnings
+
+        warnings.warn(
+            "-mg_coarse_pc_type lu is not supported on the padded/fused"
+            " layout (the coarsest level keeps the 128-lane pad columns);"
+            " using the jacobi coarse solve — pass layout='plain' for lu",
+            stacklevel=2,
+        )
+        coarse_lu = False
 
     fine_gx = fine_op.grid_shape[2]
 
@@ -262,7 +330,8 @@ def gamg_setup(
             rho_lev = rho
         if last:
             levels.append(Level(
-                op=op, dinv=dinv, rho=rho_lev, transfer=None, bjac=bjac
+                op=op, dinv=dinv, rho=rho_lev, transfer=None, bjac=bjac,
+                coarse_inv=dense_coarse_inverse(op) if coarse_lu else None,
             ))
             break
         omega = (
@@ -332,7 +401,8 @@ def hierarchy_summary(hier: Hierarchy) -> str:
         kind = type(lev.op).__name__
         extra = "" if lev.transfer is not None else \
             ", coarse solve: preonly + " + (
-                "bjacobi" if lev.bjac is not None else "jacobi"
+                "lu (dense direct)" if lev.coarse_inv is not None
+                else "bjacobi" if lev.bjac is not None else "jacobi"
             )
         lines.append(
             f"  level {i}: {n} unknowns, operator {kind},"
@@ -468,6 +538,9 @@ def vcycle(
     """
     lev = hier.levels[level]
     if lev.transfer is None:
+        if lev.coarse_inv is not None:
+            # preonly + lu: exact dense solve (one MXU matmul)
+            return _coarse_direct(lev, b)
         # preonly + (block-)jacobi coarse solve
         if lev.bjac is not None:
             return lev.bjac.apply(b)
@@ -505,7 +578,8 @@ def fmg(hier: Hierarchy, b: jax.Array, n_v: int = 1) -> jax.Array:
         bs.append(lev.transfer.restrict(lev.op, lev.dinv, bs[-1]))
     lev_c = hier.levels[-1]
     x = (
-        lev_c.bjac.apply(bs[-1]) if lev_c.bjac is not None
+        _coarse_direct(lev_c, bs[-1]) if lev_c.coarse_inv is not None
+        else lev_c.bjac.apply(bs[-1]) if lev_c.bjac is not None
         else lev_c.dinv * bs[-1]
     )
     for l in range(len(hier.levels) - 2, -1, -1):

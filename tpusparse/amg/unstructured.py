@@ -445,7 +445,16 @@ def gamg_setup_unstructured(
             bjac=bjac,
         )
         if last:
-            levels.append(Level(transfer=None, **lev_common))
+            from tpusparse.amg.hierarchy import dense_coarse_inverse
+
+            levels.append(Level(
+                transfer=None,
+                coarse_inv=(
+                    dense_coarse_inverse(op_dev)
+                    if params.coarse_solve == "lu" else None
+                ),
+                **lev_common,
+            ))
             break
         t = tentative_prolongator(agg)
         omega = params.omega_scale / rho_point if params.nsmooths == 1 else 0.0

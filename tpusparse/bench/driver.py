@@ -214,14 +214,19 @@ def _pick_ksp(
 
 
 def _plain_cycle_only(params) -> bool:
-    """Smoother configs the fused/padded kernels cannot run (they smooth
-    with point Jacobi only): real block-Jacobi (-pc_bjacobi_bs) and
-    multicolor SOR (-mg_levels_pc_type sor) route through the plain XLA
-    cycle.  Shared by the structured driver and the star-lifted aij
-    route so the gates cannot drift."""
+    """Configs the fused/padded kernel layout cannot honor: real
+    block-Jacobi (-pc_bjacobi_bs) and multicolor SOR (-mg_levels_pc_type
+    sor) smoothers (the kernels smooth with point Jacobi only), and the
+    dense-direct coarse solve (-mg_coarse_pc_type lu: the padded
+    hierarchy keeps 128-lane pad columns at every level, so the coarsest
+    dense matrix would be orders too large).  These route through the
+    plain XLA cycle so the user's explicit choice is honored.  Shared by
+    the structured driver and the star-lifted aij route so the gates
+    cannot drift."""
     return bool(params) and bool(
         getattr(params, "bjacobi_bs", 0)
         or getattr(params, "smoother", "") == "sor"
+        or getattr(params, "coarse_solve", "jacobi") == "lu"
     )
 
 
@@ -350,8 +355,9 @@ def solve_poisson(
     else:
         if layout == "padded" and plain_only:
             raise ValueError(
-                "layout='padded' is point-Jacobi only; drop -pc_bjacobi_bs"
-                " / -mg_levels_pc_type sor or use layout='plain'/'auto'"
+                "layout='padded' is point-Jacobi + jacobi-coarse only; drop"
+                " -pc_bjacobi_bs / -mg_levels_pc_type sor /"
+                " -mg_coarse_pc_type lu or use layout='plain'/'auto'"
             )
         padded = mixed and n_devices == 1 and layout == "padded"
         fused_sh = fused_sh_ok and layout == "padded"

@@ -116,6 +116,12 @@ class Options:
             smooth_damping=self.mg_levels_ksp_richardson_scale,
             bjacobi_bs=self.pc_bjacobi_bs,
             aggressive_coarsening=self.pc_gamg_aggressive_coarsening,
+            # -mg_coarse_pc_type lu = dense direct coarse solve (PETSc
+            # GAMG's own default coarse PC); bjacobi/jacobi = the
+            # reference config's preonly+(b)jacobi shape
+            coarse_solve=(
+                "lu" if self.mg_coarse_pc_type == "lu" else "jacobi"
+            ),
         )
 
     def validate(self) -> "Options":
@@ -192,6 +198,7 @@ class Options:
             self.mg_levels_ksp_type = "richardson"
         degrade("pc_mg_cycle_type", ("v", "w"), "v")
         degrade("mg_coarse_ksp_type", ("preonly",), "preonly")
+        degrade("mg_coarse_pc_type", ("bjacobi", "jacobi", "lu"), "jacobi")
         return self
 
 
