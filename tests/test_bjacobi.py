@@ -168,7 +168,7 @@ def test_bjacobi_rejected_on_padded_layout():
 
     from tpusparse.bench.driver import solve_poisson
 
-    with pytest.raises(ValueError, match="point-Jacobi only"):
+    with pytest.raises(ValueError, match="point-Jacobi"):
         solve_poisson(
             16, 16, 16, layout="padded",
             amg_params=AMGParams(bjacobi_bs=4),
