@@ -35,6 +35,35 @@ def main(argv: list[str] | None = None) -> int:
     from tpusparse.utils.profiling import trace
 
     opts = load_options(argv if argv is not None else sys.argv[1:])
+    if opts.f:
+        # -f <file>: PETSc KSP ex10 parity — solve a system loaded from a
+        # PETSc-binary / MatrixMarket file (MatLoad/VecLoad, sparse/io.py)
+        from tpusparse.bench.driver import solve_from_file
+
+        with trace(opts.profile):
+            rep = solve_from_file(
+                opts.f,
+                rtol=opts.ksp_rtol,
+                atol=opts.ksp_atol,
+                maxiter=opts.ksp_max_it,
+                ksp=opts.ksp_type,
+                pc=opts.pc_type,
+                precision=opts.precision,
+                amg_params=(
+                    opts.amg_params() if opts.pc_type == "gamg" else None
+                ),
+                mg_cycle=opts.pc_mg_cycle_type,
+                ksp_gmres_restart=opts.ksp_gmres_restart,
+                ksp_richardson_scale=opts.ksp_richardson_scale,
+                view=opts.ksp_view,
+            )
+        if opts.ksp_view and rep.solver_view:
+            print(rep.solver_view)
+        if opts.ksp_converged_reason:
+            print(rep.converged_reason_line())
+        print(rep.reference_block())
+        print("JSON:", rep.json_sidecar())
+        return 0
     with trace(opts.profile):  # Score-P/nvprof-parity trace when -profile set
         rep = solve_poisson(
             opts.da_grid_x,

@@ -98,6 +98,10 @@ class Options:
     pc_dtype: str = "f32"           # f32 | bf16: V-cycle storage dtype
     layout: str = "auto"            # auto | padded | plain (sparse/padded.py)
     profile: str = ""               # JAX profiler trace dir ('' = off)
+    # -f <file>: solve a system READ FROM A FILE instead of assembling the
+    # Poisson problem — PETSc KSP tutorial ex10's flag (MatLoad/VecLoad
+    # parity, sparse/io.py: PETSc binary viewer format or MatrixMarket)
+    f: str = ""
 
     def amg_params(self) -> AMGParams:
         # -mg_levels_pc_type sor selects the multicolor Gauss-Seidel
