@@ -76,3 +76,81 @@ def test_two_process_distributed_psum(tmp_path):
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, f"rc={p.returncode}\n{out}\n{err[-2000:]}"
         assert "OK total=" in out
+
+
+_SOLVE_WORKER = r"""
+import os, sys
+sys.path.insert(0, __REPO__)
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import tpusparse.dist.multihost as mh
+
+mh.initialize()
+assert mh.describe()["process_count"] == 2
+
+import numpy as np
+import jax.numpy as jnp
+from tpusparse.amg import AMGParams, gamg_setup, vcycle
+from tpusparse.dist import (
+    field_sharding, make_mesh, shard_hierarchy, shard_system,
+)
+from tpusparse.grid.grid3d import Grid3D
+from tpusparse.grid.poisson import poisson_stencil
+from tpusparse.solve import cg
+
+grid = Grid3D(12, 12, 24)
+op, b, exact = poisson_stencil(grid)
+hier = gamg_setup(op, AMGParams(coarse_eq_limit=30))
+
+mesh = make_mesh(len(jax.devices()))   # 4 devices spanning 2 processes
+op_s, b_s, exact_s = shard_system(op, b, exact, mesh)
+hier_s = shard_hierarchy(hier, mesh)
+
+@jax.jit
+def step(op, hier, b):
+    res = cg(op.mv, b, rtol=1e-8, maxiter=100, m_mv=lambda r: vcycle(hier, r))
+    return res.x, res.resnorm, res.iters, res.reason
+
+x, rnorm, iters, reason = step(op_s, hier_s, b_s)
+assert int(reason) > 0, int(reason)
+linf = float(jnp.max(jnp.abs(x - exact_s)))     # replicated scalar fetch
+assert linf < 0.1, linf                          # O(h^2) at h=1/12
+assert len(x.sharding.device_set) == 4, x.sharding
+print(f"proc {jax.process_index()}: SOLVE OK iters={int(iters)} linf={linf:.3e}")
+"""
+
+
+def test_two_process_sharded_cg_gamg_solve(tmp_path):
+    """A FULL CG+GAMG solve sharded across two OS processes — every CG dot
+    is a cross-process allreduce and every fine-level apply halo-exchanges
+    over the process boundary (the reference's multi-rank KSPSolve,
+    runs/multiple-node-scaling.pbs:57-68, on localhost DCN)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    script = tmp_path / "solve_worker.py"
+    script.write_text(_SOLVE_WORKER.replace("__REPO__", repr(repo)))
+    procs = []
+    for pid in range(2):
+        env = dict(
+            os.environ,
+            JAX_PLATFORMS="cpu",
+            JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(script)],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True, cwd=repo,
+            )
+        )
+    outs = [p.communicate(timeout=420) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"rc={p.returncode}\n{out}\n{err[-2000:]}"
+        assert "SOLVE OK" in out
