@@ -210,6 +210,11 @@ def _pick_ksp(
         from tpusparse.solve.bcgs import bicgstab
 
         return bicgstab
+    if ksp == "minres":
+        # KSPMINRES: symmetric INDEFINITE systems (CG requires SPD)
+        from tpusparse.solve.minres import minres
+
+        return minres
     if ksp == "richardson":
         # KSPRICHARDSON as the top-level (or inner, under mixed precision)
         # solver: multigrid-as-a-solver when pc=gamg
@@ -226,7 +231,7 @@ def _pick_ksp(
         return preonly
     raise ValueError(
         f"unknown ksp {ksp!r} (cg | pipecg | gmres | fgmres | bcgs |"
-        f" richardson | preonly)"
+        f" minres | richardson | preonly)"
     )
 
 

@@ -155,14 +155,16 @@ class Options:
                 setattr(self, field, to)
 
         if self.ksp_type not in (
-            "cg", "pipecg", "gmres", "fgmres", "bcgs", "richardson",
+            "cg", "pipecg", "gmres", "fgmres", "bcgs", "minres",
+            "richardson",
             "preonly"
         ):
             # substituting a Krylov METHOD would silently change the
             # algorithm class the user asked for — error, stating why
             raise ValueError(
                 f"-ksp_type {self.ksp_type} is not implemented (supported:"
-                f" cg, pipecg, gmres, fgmres, bcgs, richardson, preonly); not"
+                f" cg, pipecg, gmres, fgmres, bcgs, minres, richardson,"
+                f" preonly); not"
                 f" substituting because the Krylov method changes the"
                 f" algorithm, not just its speed"
             )

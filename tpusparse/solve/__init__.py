@@ -4,6 +4,7 @@ from tpusparse.solve.cg import CGResult, ConvergedReason, cg, cg_hostloop
 from tpusparse.solve.checkpoint import CheckpointConfig, cg_checkpointed
 from tpusparse.solve.fgmres import fgmres
 from tpusparse.solve.gmres import gmres
+from tpusparse.solve.minres import minres
 from tpusparse.solve.multi import MultiResult, cg_multi, refined_multi
 from tpusparse.solve.pipelined import cg_pipelined
 from tpusparse.solve.refine import RefinedResult, cg_refined, cg_refined_tf
@@ -15,6 +16,7 @@ __all__ = [
     "cg_pipelined",
     "gmres",
     "fgmres",
+    "minres",
     "bicgstab",
     "cg_refined",
     "cg_refined_tf",
