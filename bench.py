@@ -23,8 +23,54 @@ N = 300
 RTOL = 1e-8   # BASELINE.json gate (reference config runs 1e-14; see report)
 
 
+def _wait_for_device(total_s: float = 480.0, probe_s: int = 90) -> bool:
+    """Bounded device-availability gate.
+
+    The axon TPU tunnel can be down for hours (observed mid-round-3); JAX
+    device discovery then HANGS indefinitely rather than erroring, which
+    would wedge this process.  Probe in a SUBPROCESS (a poisoned backend
+    election cannot be retried in-process) under a timeout, retrying within
+    a total budget; False = no device, caller exits nonzero with a clear
+    message instead of hanging.
+    """
+    import subprocess
+    import time
+
+    deadline = time.monotonic() + total_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            rc = subprocess.run(
+                [sys.executable, "-c",
+                 "import os, jax\n"
+                 "if os.environ.get('JAX_PLATFORMS'):\n"
+                 "    jax.config.update('jax_platforms',"
+                 " os.environ['JAX_PLATFORMS'])\n"
+                 "jax.devices(); print('ok')"],
+                timeout=probe_s, capture_output=True,
+                env=dict(__import__('os').environ),
+            ).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+        if rc == 0:
+            return True
+        left = deadline - time.monotonic()
+        print(f"bench: device probe {attempt} failed (rc={rc}); "
+              f"{left:.0f}s left in budget", file=sys.stderr)
+        if left <= 30:
+            return False
+        time.sleep(min(60, left - 30))
+
+
 def main() -> None:
     import time
+
+    if not _wait_for_device():
+        print("bench: no usable accelerator (device discovery hung/failed"
+              " repeatedly — TPU tunnel down?); aborting instead of"
+              " hanging", file=sys.stderr)
+        raise SystemExit(3)
 
     from tpusparse.bench.driver import solve_poisson
 
