@@ -87,6 +87,7 @@ def main(argv: list[str] | None = None) -> int:
             mat_type=opts.mat_type,
             aggregation=opts.pc_gamg_aggregation,
             structure_detect=bool(opts.mat_structure_detect),
+            compute_eigenvalues=opts.ksp_compute_eigenvalues,
         )
     if opts.ksp_view and rep.solver_view:
         print(rep.solver_view)
@@ -99,6 +100,8 @@ def main(argv: list[str] | None = None) -> int:
         # is set (KSPConvergedReasonView) — after the solve, before the
         # driver's own summary block
         print(rep.converged_reason_line())
+    if opts.ksp_compute_eigenvalues and rep.eigenvalues:
+        print(rep.eigenvalues_block())
     print(rep.reference_block())
     if opts.log_view:
         print(rep.log_view())

@@ -58,6 +58,10 @@ class SolveReport:
     # matrix provenance for file-loaded systems (-f, MatLoad parity);
     # None for assembled Poisson runs
     source: str | None = None
+    # -ksp_compute_eigenvalues data: Ritz values of the preconditioned
+    # operator M A from the CG iteration's own Lanczos scalars
+    # (solve/spectrum.py), ascending; None unless requested
+    eigenvalues: list | None = None
 
     def log_view(self) -> str:
         """PETSc ``-log_view``-style performance summary: phase wall times
@@ -96,6 +100,17 @@ class SolveReport:
             f"  {i} KSP Residual norm {r:e}"
             for i, r in enumerate(self.residual_history)
         )
+
+    def eigenvalues_block(self) -> str:
+        """PETSc ``-ksp_compute_eigenvalues`` output (KSPComputeEigenvalues
+        data printed after the solve) + the kappa(MA) estimate."""
+        if not self.eigenvalues:
+            return ""
+        import numpy as np
+
+        from tpusparse.solve.spectrum import eigenvalue_block
+
+        return eigenvalue_block(np.asarray(self.eigenvalues))
 
     def converged_reason_line(self) -> str:
         """PETSc ``-ksp_converged_reason`` output: 'Linear solve converged
@@ -280,6 +295,7 @@ def solve_poisson(
     extent: tuple[float, float, float] | None = None,
     assembly: str = "auto",
     structure_detect: bool = True,
+    compute_eigenvalues: bool = False,
 ) -> SolveReport:
     """End-to-end solve with the reference's defaults
     (tolerances: configs/PETSc_SolverOptions_GAMG.info:1-4).
@@ -319,6 +335,7 @@ def solve_poisson(
             ksp_richardson_scale=ksp_richardson_scale,
             aggregation=aggregation, extent=extent, assembly=assembly,
             structure_detect=structure_detect,
+            compute_eigenvalues=compute_eigenvalues,
         )
     if precision not in ("mixed", "tf", "f64", "f32"):
         raise ValueError(f"unknown precision {precision!r}")
@@ -403,6 +420,7 @@ def solve_poisson(
         rtol=rtol, atol=atol, maxiter=maxiter, ksp=ksp,
         ksp_solve=ksp_solve, monitor=monitor, view=view, warmup=warmup,
         n_devices=n_devices, check_error=check_error,
+        eigs=compute_eigenvalues,
     )
 
 
@@ -417,12 +435,24 @@ def _setup_and_solve(
     view_extra: str | None = None,
     breakdown: dict | None = None,
     t_setup_seed: float = 0.0,
+    eigs: bool = False,
 ) -> SolveReport:
     """KSPSetUp + KSPSolve core shared by the structured driver and the
     star-lifted aij route (sparse/starlift.py): warmup program builds,
     timed one-dispatch hierarchy setup, fused/padded cycle selection,
     sharding, timed solve, and the reference-contract report
     (src/main_ksp.cpp:97-129)."""
+    if eigs and (mixed or ksp != "cg" or monitor):
+        # PETSc computes these for any KSP; here the Lanczos identity is
+        # wired for the uniform-precision CG path (mixed precision runs
+        # many short inner solves — no single Lanczos process to report)
+        import warnings
+
+        warnings.warn(
+            "-ksp_compute_eigenvalues needs uniform-precision -ksp_type cg"
+            " without -ksp_monitor; skipping eigenvalue computation"
+        )
+        eigs = False
     if warmup and pc == "gamg":
         # Setup-program build OUTSIDE the timed phase — the same protocol
         # the solve phase has always used (see the warmup note below): the
@@ -539,9 +569,12 @@ def _setup_and_solve(
             )
     else:
         def solve_fn(op, op_lo, pc_state, b):
+            kw = dict(history=monitor)
+            if eigs:
+                kw = dict(spectrum=True)
             return ksp_solve(
                 op.mv, b, rtol=rtol, atol=atol, maxiter=maxiter,
-                m_mv=m_of(pc_state), history=monitor,
+                m_mv=m_of(pc_state), **kw,
             )
 
     if n_devices > 1:
@@ -605,19 +638,31 @@ def _setup_and_solve(
     # fetching an output scalar cannot.
     if warmup:
         out = solve(b)
-        float((out[0] if monitor else out).resnorm)
+        float((out[0] if (monitor or eigs) else out).resnorm)
 
     t0 = time.perf_counter()
     res = solve(b)
-    hist = None
+    hist = spec = None
     if monitor:
         res, hist = res
+    elif eigs:
+        res, spec = res
     resnorm = float(res.resnorm)
     t_solve = time.perf_counter() - t0
 
     reason = int(res.reason)
     if reason < 0:
         raise DivergedError(f"Diverged reason: {reason}")
+
+    eig_list = None
+    if spec is not None:
+        from tpusparse.solve.spectrum import ritz_values
+
+        eig_list = [
+            float(v) for v in ritz_values(
+                np.asarray(spec[0]), np.asarray(spec[1]), int(res.iters)
+            )
+        ]
 
     view_text = None
     if view:
@@ -666,6 +711,7 @@ def _setup_and_solve(
         setup_breakdown={
             k: round(v, 4) for k, v in breakdown.items()
         } or None,
+        eigenvalues=eig_list,
     )
 
 
@@ -693,6 +739,7 @@ def _solve_poisson_aij(
     extent: tuple[float, float, float] | None = None,
     assembly: str = "auto",
     structure_detect: bool = True,
+    compute_eigenvalues: bool = False,
 ) -> SolveReport:
     """The general-matrix driver: the manufactured Poisson system ASSEMBLED
     as an arbitrary host CSR (MATAIJ parity — the reference's actual matrix
@@ -887,6 +934,7 @@ def _solve_poisson_aij(
                 ),
                 breakdown={"star_lift": round(lift_s, 4)},
                 t_setup_seed=lift_s,
+                eigs=compute_eigenvalues,
             )
         lift_overhead = lift_s
 
@@ -897,6 +945,15 @@ def _solve_poisson_aij(
             "dist.general.DistDIA for sharded general matrices"
         )
 
+    eigs = compute_eigenvalues
+    if eigs and (mixed or ksp != "cg" or monitor):
+        import warnings
+
+        warnings.warn(
+            "-ksp_compute_eigenvalues needs uniform-precision -ksp_type cg"
+            " without -ksp_monitor; skipping eigenvalue computation"
+        )
+        eigs = False
     if warmup and pc == "gamg" and geo_route:
         # Setup-program build outside the timed phase (same protocol as
         # the structured driver and the solve phase: the reference's
@@ -950,6 +1007,9 @@ def _solve_poisson_aij(
             )
     else:
         def solve_fn(op_hi, op_lo, pc_state, b):
+            kw = dict(history=monitor)
+            if eigs:
+                kw = dict(spectrum=True)
             return ksp_solve(
                 op_hi.mv, b, rtol=rtol, atol=atol, maxiter=maxiter,
                 m_mv=m_of(pc_state), history=monitor,
@@ -962,19 +1022,31 @@ def _solve_poisson_aij(
 
     if warmup:
         out = solve(b)
-        float((out[0] if monitor else out).resnorm)
+        float((out[0] if (monitor or eigs) else out).resnorm)
 
     t0 = time.perf_counter()
     res = solve(b)
-    hist = None
+    hist = spec = None
     if monitor:
         res, hist = res
+    elif eigs:
+        res, spec = res
     resnorm = float(res.resnorm)
     t_solve = time.perf_counter() - t0
 
     reason = int(res.reason)
     if reason < 0:
         raise DivergedError(f"Diverged reason: {reason}")
+
+    eig_list = None
+    if spec is not None:
+        from tpusparse.solve.spectrum import ritz_values
+
+        eig_list = [
+            float(v) for v in ritz_values(
+                np.asarray(spec[0]), np.asarray(spec[1]), int(res.iters)
+            )
+        ]
 
     view_text = None
     if view:
@@ -1016,6 +1088,7 @@ def _solve_poisson_aij(
         solver_view=view_text,
         mat_type="aij",
         setup_breakdown={k: round(v, 4) for k, v in breakdown.items()} or None,
+        eigenvalues=eig_list,
     )
 
 

@@ -44,6 +44,9 @@ class Options:
     # (PETSc -ksp_view / KSPView+PCView parity)
     ksp_converged_reason: bool = False  # print 'Linear solve converged
     # due to ...' (PETSc -ksp_converged_reason parity)
+    ksp_compute_eigenvalues: bool = False  # Ritz values of M A from the
+    # CG iteration's Lanczos scalars (PETSc -ksp_compute_eigenvalues /
+    # KSPComputeEigenvalues parity; uniform-precision cg runs)
     log_view: bool = False          # print the performance summary
     # (PETSc -log_view parity: phase times + flop accounting)
     ksp_richardson_scale: float = 1.0  # top-level KSPRICHARDSON damping

@@ -5,6 +5,7 @@ from tpusparse.solve.checkpoint import CheckpointConfig, cg_checkpointed
 from tpusparse.solve.fgmres import fgmres
 from tpusparse.solve.gmres import gmres
 from tpusparse.solve.minres import minres
+from tpusparse.solve.spectrum import ritz_values
 from tpusparse.solve.multi import MultiResult, cg_multi, refined_multi
 from tpusparse.solve.pipelined import cg_pipelined
 from tpusparse.solve.refine import RefinedResult, cg_refined, cg_refined_tf
@@ -17,6 +18,7 @@ __all__ = [
     "gmres",
     "fgmres",
     "minres",
+    "ritz_values",
     "bicgstab",
     "cg_refined",
     "cg_refined_tf",

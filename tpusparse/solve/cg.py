@@ -87,6 +87,7 @@ def cg(
     return_state: bool = False,
     history: bool = False,
     a_mv_dot: Callable | None = None,
+    spectrum: bool = False,
 ) -> CGResult:
     """Solve A x = b with (preconditioned) CG.
 
@@ -110,6 +111,12 @@ def cg(
     operator apply + alpha-denominator dot (a fused kernel can produce both
     in one pass — ``PaddedStar.mv_dot``).
 
+    ``spectrum=True`` additionally returns the ``(maxiter,)`` per-iteration
+    CG scalars ``(alphas, betas)`` — the Lanczos tridiagonal data PETSc's
+    ``-ksp_compute_eigenvalues`` uses (``solve/spectrum.py`` turns them
+    into Ritz values of the preconditioned operator M A); incompatible
+    with ``state0``/``return_state``/``history``.
+
     Jit-compatible: call under ``jax.jit``; ``maxiter`` must be static,
     ``rtol``/``atol`` may be python floats or traced scalars (the adaptive
     inner tolerances in solve/refine.py pass traced values).
@@ -123,6 +130,11 @@ def cg(
             "history=True is incompatible with return_state=True (the"
             " state tuple would be returned where the caller expects the"
             " history array)"
+        )
+    if spectrum and (history or return_state or state0 is not None):
+        raise ValueError(
+            "spectrum=True is incompatible with history/return_state/"
+            "state0 (each changes what the extra return slot carries)"
         )
 
     if x0 is None:
@@ -179,6 +191,12 @@ def cg(
         new = (x, r, z, p, rz_new, rnorm, it + 1)
         if history:
             new += (state[7].at[it + 1].set(rnorm.astype(jnp.float32)),)
+        if spectrum:
+            al, be = state[7], state[8]
+            new += (
+                al.at[it].set(alpha.astype(jnp.float64)),
+                be.at[it].set(beta.astype(jnp.float64)),
+            )
         return new
 
     if state0 is None:
@@ -186,6 +204,11 @@ def cg(
         if history:
             hist0 = jnp.zeros((maxiter + 1,), jnp.float32)
             state += (hist0.at[0].set(rnorm0.astype(jnp.float32)),)
+        if spectrum:
+            state += (
+                jnp.zeros((maxiter,), jnp.float64),
+                jnp.zeros((maxiter,), jnp.float64),
+            )
     else:
         state = state0
     out = jax.lax.while_loop(cond, body, state)
@@ -202,6 +225,8 @@ def cg(
         return result, out[:7]
     if history:
         return result, out[7]
+    if spectrum:
+        return result, (out[7], out[8])
     return result
 
 
