@@ -180,6 +180,41 @@ def test_solve_from_file_gamg_defaults(tmp_path):
     assert "n/a" in rep.reference_block()
 
 
+def test_mat_view_export_roundtrip(tmp_path, capsys):
+    """-mat_view binary:<file> exports the assembled Poisson system; the
+    file then solves via -f to the same answer the stencil path gives
+    (MatView -> MatLoad round-trip, exact-solution Linf gate included)."""
+    from tpusparse.__main__ import main
+
+    path = str(tmp_path / "poisson14.petsc")
+    rc = main([
+        "-da_grid_x", "14", "-da_grid_y", "14", "-da_grid_z", "14",
+        "-ksp_rtol", "1e-9", "-precision", "f64",
+        "-mat_view", f"binary:{path}",
+    ])
+    out_stencil = capsys.readouterr().out
+    assert rc == 0
+    assert "written to" in out_stencil
+
+    objs = read_petsc_objects(path)
+    assert isinstance(objs[0], HostCSR) and len(objs) == 3
+    assert objs[0].shape == (14**3, 14**3)
+
+    rc = main(["-f", path, "-ksp_rtol", "1e-9", "-precision", "f64"])
+    out_file = capsys.readouterr().out
+    assert rc == 0
+    import re
+
+    linf_s = re.search(
+        r"Maximum norm of error: ([0-9.e+-]+)", out_stencil
+    ).group(1)
+    linf_f = re.search(
+        r"Maximum norm of error: ([0-9.e+-]+)", out_file
+    ).group(1)
+    # same system, same discretization error against the same exact vector
+    assert abs(float(linf_s) - float(linf_f)) < 1e-6
+
+
 def test_cli_f_flag(tmp_path, capsys):
     """python -m tpusparse -f file — ex10's CLI shape."""
     from tpusparse.__main__ import main

@@ -35,6 +35,29 @@ def main(argv: list[str] | None = None) -> int:
     from tpusparse.utils.profiling import trace
 
     opts = load_options(argv if argv is not None else sys.argv[1:])
+    if opts.mat_view and not opts.f:
+        # -mat_view binary:<file> (MatView parity): write the assembled
+        # system — matrix, rhs, exact solution — as PETSc binary objects.
+        # The file round-trips: solvable via -f here, or MatLoad in PETSc.
+        fmt, _, fname = opts.mat_view.partition(":")
+        if fmt != "binary" or not fname:
+            raise ValueError(
+                f"-mat_view {opts.mat_view!r}: expected 'binary:<filename>'"
+            )
+        from tpusparse.grid.grid3d import Grid3D
+        from tpusparse.grid.poisson import assemble_poisson
+        from tpusparse.sparse.io import save_petsc_mat, save_petsc_vec
+
+        a, rhs, exact = assemble_poisson(
+            Grid3D(opts.da_grid_x, opts.da_grid_y, opts.da_grid_z)
+        )
+        save_petsc_mat(fname, a)
+        save_petsc_vec(fname, rhs, append=True)
+        save_petsc_vec(fname, exact, append=True)
+        print(
+            f"Mat Object: {a.shape[0]} x {a.shape[1]}, nnz {a.nnz} "
+            f"written to {fname} (PETSc binary; + rhs and exact vectors)"
+        )
     if opts.f:
         # -f <file>: PETSc KSP ex10 parity — solve a system loaded from a
         # PETSc-binary / MatrixMarket file (MatLoad/VecLoad, sparse/io.py)

@@ -105,6 +105,10 @@ class Options:
     # Poisson problem — PETSc KSP tutorial ex10's flag (MatLoad/VecLoad
     # parity, sparse/io.py: PETSc binary viewer format or MatrixMarket)
     f: str = ""
+    # -mat_view binary:<file>: EXPORT the assembled system (matrix + rhs +
+    # exact solution) in PETSc's binary viewer format (MatView parity) —
+    # the written file solves via -f here or MatLoad in PETSc itself
+    mat_view: str = ""
 
     def amg_params(self) -> AMGParams:
         # -mg_levels_pc_type sor selects the multicolor Gauss-Seidel
