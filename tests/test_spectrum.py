@@ -99,6 +99,27 @@ def test_driver_mixed_warns_and_skips():
     assert rep.eigenvalues is None
 
 
+def test_ksp_object_compute_eigenvalues():
+    """KSPComputeEigenvalues on the KSP object: works for the MIXED
+    production configuration too (probes the f32 pair the inner solves
+    actually iterate with)."""
+    from tpusparse import KSP
+    from tpusparse.grid.grid3d import Grid3D
+    from tpusparse.grid.poisson import poisson_stencil_device
+
+    op, b, _ = poisson_stencil_device(Grid3D(16, 16, 16))
+    ksp = KSP(rtol=1e-8)              # mixed precision, cg+gamg
+    ksp.set_operators(op)
+    ev = ksp.compute_eigenvalues()
+    assert ev.size >= 5
+    assert 0.0 < ev.min() and ev.max() <= 1.0 + 1e-5
+    # bulk kappa: exclude the pin outlier AND its Lanczos ghost copies
+    # (duplicated converged extremes — see solve/spectrum.py docstring)
+    bulk = ev[ev > 10.0 * ev.min()]
+    assert bulk.size >= 3
+    assert bulk.max() / bulk.min() < 20.0
+
+
 def test_cli_flag(capsys):
     from tpusparse.__main__ import main
 

@@ -523,6 +523,54 @@ class KSP:
             )
         return res
 
+    def compute_eigenvalues(
+        self, b: jax.Array | None = None,
+        rtol: float = 1e-12, maxiter: int = 300,
+    ) -> "np.ndarray":
+        """KSPComputeEigenvalues parity: Ritz values of the preconditioned
+        operator M A, ascending, measured from a dedicated CG run's own
+        Lanczos scalars (``solve/spectrum.py``) — the preconditioner-
+        quality probe at sizes a dense eigenanalysis cannot reach.
+
+        Runs on the PC's home operator (the low-precision twin under
+        mixed precision — exactly the pair the inner solves iterate
+        with).  ``b`` seeds the Krylov space (default: a deterministic
+        non-smooth ramp); more iterations = more converged Ritz values,
+        extremes first.
+        """
+        self.setup()
+        from functools import partial
+
+        from tpusparse.solve.cg import cg as _cg
+        from tpusparse.solve.spectrum import ritz_values
+
+        op = self._op_lo
+        gshape = getattr(self._op, "grid_shape", None)
+        if b is None:
+            n = (
+                int(np.prod(gshape)) if gshape is not None
+                else self._op.shape[0]
+            )
+            b = jnp.sin(jnp.arange(n) * 0.7 + 0.3)
+            if gshape is not None:
+                b = b.reshape(gshape)
+        elif gshape is not None and b.ndim == 1:
+            b = b.reshape(gshape)
+        b = b.astype(op.dtype)
+        if self._encode is not None:
+            b = self._encode(b)
+        m_of = self._m_of
+
+        @partial(jax.jit, static_argnames=())
+        def run(op, ps, bb):
+            return _cg(
+                op.mv, bb, rtol=rtol, maxiter=maxiter,
+                m_mv=m_of(ps), spectrum=True,
+            )
+
+        res, (al, be) = run(op, self._pc_state, b)
+        return ritz_values(np.asarray(al), np.asarray(be), int(res.iters))
+
     # -- Get* accessors (main_ksp.cpp:114-117) ------------------------------
 
     @property

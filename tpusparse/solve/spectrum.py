@@ -16,6 +16,14 @@ at a few thousand unknowns.
 
 Host-side: the scalars arrive as two tiny ``(maxiter,)`` arrays after the
 solve; the tridiagonal eigensolve is O(iters^2) on iters ~ tens.
+
+Finite-precision caveat (shared with PETSc's KSPComputeEigenvalues, which
+uses the same iteration scalars): Lanczos without reorthogonalization
+duplicates already-converged extreme eigenvalues ("ghosts") once the
+iteration runs past their convergence — e.g. the GAMG hierarchy's
+null-space-pin outlier can appear twice.  Ghost copies agree to many
+digits, so near-duplicates in the output are copies of one true
+eigenvalue, not evidence of a cluster.
 """
 
 from __future__ import annotations
