@@ -68,6 +68,7 @@ def main(argv: list[str] | None = None) -> int:
                 opts.f,
                 rtol=opts.ksp_rtol,
                 atol=opts.ksp_atol,
+                divtol=opts.ksp_divtol,
                 maxiter=opts.ksp_max_it,
                 ksp=opts.ksp_type,
                 pc=opts.pc_type,
@@ -94,6 +95,7 @@ def main(argv: list[str] | None = None) -> int:
             opts.da_grid_z,
             rtol=opts.ksp_rtol,
             atol=opts.ksp_atol,
+            divtol=opts.ksp_divtol,
             maxiter=opts.ksp_max_it,
             pc=opts.pc_type,
             amg_params=opts.amg_params() if opts.pc_type == "gamg" else None,

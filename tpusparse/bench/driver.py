@@ -274,6 +274,7 @@ def solve_poisson(
     *,
     rtol: float = 1e-14,
     atol: float = 1e-12,
+    divtol: float = 1e5,
     maxiter: int = 10000,
     pc: str = "gamg",
     amg_params: AMGParams | None = None,
@@ -327,7 +328,8 @@ def solve_poisson(
         raise ValueError(f"unknown mat_type {mat_type!r} (stencil | aij)")
     if mat_type == "aij":
         return _solve_poisson_aij(
-            nx, ny, nz, rtol=rtol, atol=atol, maxiter=maxiter, pc=pc,
+            nx, ny, nz, rtol=rtol, atol=atol, divtol=divtol,
+            maxiter=maxiter, pc=pc,
             amg_params=amg_params, precision=precision, warmup=warmup,
             check_error=check_error, n_devices=n_devices, ksp=ksp,
             mg_cycle=mg_cycle, monitor=monitor, view=view,
@@ -417,7 +419,7 @@ def solve_poisson(
         t_init=t_init, padded=padded, fused_sh=fused_sh, encode=encode,
         decode=decode, mixed=mixed, precision=precision, pc=pc,
         pc_dtype=pc_dtype, mg_cycle=mg_cycle, amg_params=amg_params,
-        rtol=rtol, atol=atol, maxiter=maxiter, ksp=ksp,
+        rtol=rtol, atol=atol, divtol=divtol, maxiter=maxiter, ksp=ksp,
         ksp_solve=ksp_solve, monitor=monitor, view=view, warmup=warmup,
         n_devices=n_devices, check_error=check_error,
         eigs=compute_eigenvalues,
@@ -430,6 +432,7 @@ def _setup_and_solve(
     padded, fused_sh, encode, decode,
     mixed, precision, pc, pc_dtype, mg_cycle, amg_params,
     rtol, atol, maxiter, ksp, ksp_solve, monitor, view,
+    divtol: float = 1e5,
     warmup, n_devices, check_error,
     mat_type: str = "stencil",
     view_extra: str | None = None,
@@ -548,7 +551,7 @@ def _setup_and_solve(
 
         def solve_fn(op_df, op_lo, pc_state, b):
             return cg_refined_tf(
-                op_df, op_lo.mv, b, rtol=rtol, atol=atol,
+                op_df, op_lo.mv, b, rtol=rtol, atol=atol, divtol=divtol,
                 m_lo_mv=m_of(pc_state), encode=encode, decode=decode,
                 solver=ksp_solve, history=monitor,
             )
@@ -563,7 +566,7 @@ def _setup_and_solve(
         # saves a collective round on the critical path.
         def solve_fn(op, op_lo, pc_state, b):
             return cg_refined(
-                op.mv, op_lo.mv, b, rtol=rtol, atol=atol,
+                op.mv, op_lo.mv, b, rtol=rtol, atol=atol, divtol=divtol,
                 m_lo_mv=m_of(pc_state), encode=encode, decode=decode,
                 solver=ksp_solve, history=monitor,
             )
@@ -573,8 +576,8 @@ def _setup_and_solve(
             if eigs:
                 kw = dict(spectrum=True)
             return ksp_solve(
-                op.mv, b, rtol=rtol, atol=atol, maxiter=maxiter,
-                m_mv=m_of(pc_state), **kw,
+                op.mv, b, rtol=rtol, atol=atol, divtol=divtol,
+                maxiter=maxiter, m_mv=m_of(pc_state), **kw,
             )
 
     if n_devices > 1:
@@ -724,6 +727,7 @@ def _solve_poisson_aij(
     atol: float,
     maxiter: int,
     pc: str,
+    divtol: float = 1e5,
     amg_params: AMGParams | None,
     precision: str,
     warmup: bool,
@@ -924,7 +928,8 @@ def _solve_poisson_aij(
                 mixed=mixed,
                 precision=precision, pc=pc, pc_dtype="f32",
                 mg_cycle=mg_cycle, amg_params=params, rtol=rtol,
-                atol=atol, maxiter=maxiter, ksp=ksp, ksp_solve=ksp_solve,
+                atol=atol, divtol=divtol, maxiter=maxiter, ksp=ksp,
+                ksp_solve=ksp_solve,
                 monitor=monitor, view=view, warmup=warmup,
                 n_devices=n_devices,
                 check_error=check_error, mat_type="aij",
@@ -1002,7 +1007,7 @@ def _solve_poisson_aij(
 
         def solve_fn(op_hi, op_lo, pc_state, b):
             return cg_refined(
-                op_hi.mv, op_lo.mv, b, rtol=rtol, atol=atol,
+                op_hi.mv, op_lo.mv, b, rtol=rtol, atol=atol, divtol=divtol,
                 m_lo_mv=m_of(pc_state), solver=ksp_solve, history=monitor,
             )
     else:
@@ -1011,7 +1016,8 @@ def _solve_poisson_aij(
             if eigs:
                 kw = dict(spectrum=True)
             return ksp_solve(
-                op_hi.mv, b, rtol=rtol, atol=atol, maxiter=maxiter,
+                op_hi.mv, b, rtol=rtol, atol=atol, divtol=divtol,
+                maxiter=maxiter,
                 m_mv=m_of(pc_state), history=monitor,
             )
 
@@ -1097,6 +1103,7 @@ def solve_from_file(
     *,
     rtol: float = 1e-5,
     atol: float = 1e-50,
+    divtol: float = 1e5,
     maxiter: int = 10000,
     ksp: str = "cg",
     pc: str = "gamg",
@@ -1146,7 +1153,8 @@ def solve_from_file(
     b_host = np.ones(a.shape[0]) if rhs is None else rhs
 
     solver = KSP(
-        ksp_type=ksp, pc_type=pc, rtol=rtol, atol=atol, maxiter=maxiter,
+        ksp_type=ksp, pc_type=pc, rtol=rtol, atol=atol, divtol=divtol,
+        maxiter=maxiter,
         precision=precision, amg_params=amg_params, mg_cycle=mg_cycle,
         gmres_restart=ksp_gmres_restart,
         richardson_scale=ksp_richardson_scale,

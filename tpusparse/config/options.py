@@ -37,6 +37,9 @@ class Options:
     ksp_type: str = "cg"
     ksp_rtol: float = 1e-5          # PETSc default; the config file sets 1e-14
     ksp_atol: float = 1e-50
+    ksp_divtol: float = 1e5   # KSPConvergedDefault divergence tolerance:
+    # ||r|| >= divtol*||b|| reports DIVERGED_DTOL (PETSc default 1e5;
+    # <= 0 disables the test)
     ksp_max_it: int = 10000
     ksp_monitor: bool = False       # per-iteration residual history (PETSc
     # -ksp_monitor: '  %d KSP Residual norm %e' lines + JSON sidecar field)

@@ -111,6 +111,7 @@ class KSP:
         pc_type: str = "gamg",
         rtol: float = 1e-14,
         atol: float = 1e-12,
+        divtol: float = 1e5,
         maxiter: int = 10000,
         precision: str = "mixed",
         amg_params=None,
@@ -136,6 +137,7 @@ class KSP:
         self.pc_type = pc_type
         self.rtol = rtol
         self.atol = atol
+        self.divtol = divtol
         self.maxiter = maxiter
         self.precision = precision
         self.amg_params = amg_params or AMGParams()
@@ -170,6 +172,7 @@ class KSP:
             pc_type=opts.pc_type,
             rtol=opts.ksp_rtol,
             atol=opts.ksp_atol,
+            divtol=opts.ksp_divtol,
             maxiter=opts.ksp_max_it,
             precision=opts.precision,
             amg_params=(
@@ -360,6 +363,7 @@ class KSP:
         m_of = self._m_of
         encode, decode = self._encode, self._decode
         rtol, atol, maxiter = self.rtol, self.atol, self.maxiter
+        divtol = self.divtol
         ksp_solve = self._ksp_solve
         if mixed:
             from tpusparse.solve.refine import cg_refined
@@ -370,7 +374,7 @@ class KSP:
                     kw = dict(rtol=0.0, atol=jnp.maximum(
                         rtol * bnorm_ref, atol))
                 return cg_refined(
-                    op_hi.mv, op_lo.mv, b,
+                    op_hi.mv, op_lo.mv, b, divtol=divtol,
                     m_lo_mv=m_of(pc_state), encode=encode, decode=decode,
                     solver=ksp_solve, **kw,
                 )
@@ -381,7 +385,7 @@ class KSP:
                     kw = dict(rtol=0.0, atol=jnp.maximum(
                         rtol * bnorm_ref, atol))
                 return ksp_solve(
-                    op_hi.mv, b, maxiter=maxiter,
+                    op_hi.mv, b, maxiter=maxiter, divtol=divtol,
                     m_mv=m_of(pc_state), **kw,
                 )
         # operators/hierarchy ride as ARGUMENTS (closures would bake the

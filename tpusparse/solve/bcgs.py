@@ -34,6 +34,7 @@ def bicgstab(
     atol: float = 1e-50,
     maxiter: int = 10000,
     m_mv: Callable | None = None,
+    divtol: float = 1e5,
     history: bool = False,
 ) -> CGResult:
     """Solve A x = b with preconditioned BiCGStab."""
@@ -45,6 +46,10 @@ def bicgstab(
     dt = b.dtype
     bnorm = jnp.sqrt(_dot(b, b)).astype(dt)
     tol = jnp.maximum(jnp.asarray(rtol, dt) * bnorm, jnp.asarray(atol, dt))
+    dgate = (
+        jnp.asarray(divtol, dt) * bnorm if divtol and divtol > 0
+        else jnp.asarray(jnp.inf, dt)
+    )
     eps = jnp.asarray(jnp.finfo(dt).tiny * 1e4, dt)
 
     r0 = b - a_mv(x0)

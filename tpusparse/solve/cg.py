@@ -49,6 +49,7 @@ class ConvergedReason(enum.IntEnum):
     CONVERGED_STALLED = 100
     ITERATING = 0
     DIVERGED_ITS = -3
+    DIVERGED_DTOL = -4
     DIVERGED_NANORINF = -9
 
 
@@ -88,13 +89,18 @@ def cg(
     history: bool = False,
     a_mv_dot: Callable | None = None,
     spectrum: bool = False,
+    divtol: float = 1e5,
 ) -> CGResult:
     """Solve A x = b with (preconditioned) CG.
 
     ``a_mv(x)`` applies the operator; ``m_mv(r)`` applies the preconditioner
     (defaults to identity).  Convergence: ||r||_2 <= max(rtol*||b||_2, atol)
-    on the *unpreconditioned* residual, checked every iteration (PETSc
-    KSPConvergedDefault semantics with the reference's tolerances).
+    on the *unpreconditioned* residual, checked every iteration, and
+    ||r||_2 >= divtol*||b||_2 reports DIVERGED_DTOL — the full PETSc
+    KSPConvergedDefault test (divtol default 1e5 = PETSc's; <= 0 disables;
+    the reference ratio is against rnorm0, which equals ||b|| for the
+    zero initial guess every entry point uses — warm starts solve the
+    defect system, where the defect norm IS rnorm0).
 
     ``return_state=True`` additionally returns the full Krylov state tuple;
     passing it back as ``state0`` resumes the iteration *exactly* (same
@@ -143,6 +149,10 @@ def cg(
     dt = b.dtype
     bnorm = jnp.sqrt(_dot(b, b)).astype(dt)
     tol = jnp.maximum(jnp.asarray(rtol, dt) * bnorm, jnp.asarray(atol, dt))
+    dgate = (
+        jnp.asarray(divtol, dt) * bnorm if divtol and divtol > 0
+        else jnp.asarray(jnp.inf, dt)
+    )
 
     if state0 is None:
         r0 = b - a_mv(x0)
@@ -161,9 +171,13 @@ def cg(
                     rnorm <= tol,
                     jnp.int32(ConvergedReason.CONVERGED_RTOL),
                     jnp.where(
-                        it >= maxiter,
-                        jnp.int32(ConvergedReason.DIVERGED_ITS),
-                        jnp.int32(ConvergedReason.ITERATING),
+                        rnorm >= dgate,
+                        jnp.int32(ConvergedReason.DIVERGED_DTOL),
+                        jnp.where(
+                            it >= maxiter,
+                            jnp.int32(ConvergedReason.DIVERGED_ITS),
+                            jnp.int32(ConvergedReason.ITERATING),
+                        ),
                     ),
                 ),
             ),

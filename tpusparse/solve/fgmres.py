@@ -45,6 +45,7 @@ def fgmres(
     maxiter: int = 10000,
     restart: int = 30,
     m_mv: Callable | None = None,
+    divtol: float = 1e5,
     history: bool = False,
 ) -> CGResult:
     """Solve A x = b with flexible (right-preconditioned) GMRES(restart).
@@ -66,6 +67,10 @@ def fgmres(
 
     bnorm = jnp.sqrt(_dot(b, b)).astype(dt)
     tol = jnp.maximum(jnp.asarray(rtol, dt) * bnorm, jnp.asarray(atol, dt))
+    dgate = (
+        jnp.asarray(divtol, dt) * bnorm if divtol and divtol > 0
+        else jnp.asarray(jnp.inf, dt)
+    )
 
     def classify(rnorm, it):
         return jnp.where(
@@ -78,9 +83,13 @@ def fgmres(
                     rnorm <= tol,
                     jnp.int32(ConvergedReason.CONVERGED_RTOL),
                     jnp.where(
-                        it >= maxiter,
-                        jnp.int32(ConvergedReason.DIVERGED_ITS),
-                        jnp.int32(ConvergedReason.ITERATING),
+                        rnorm >= dgate,
+                        jnp.int32(ConvergedReason.DIVERGED_DTOL),
+                        jnp.where(
+                            it >= maxiter,
+                            jnp.int32(ConvergedReason.DIVERGED_ITS),
+                            jnp.int32(ConvergedReason.ITERATING),
+                        ),
                     ),
                 ),
             ),

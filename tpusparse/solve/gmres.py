@@ -43,6 +43,7 @@ def gmres(
     maxiter: int = 10000,
     restart: int = 30,
     m_mv: Callable | None = None,
+    divtol: float = 1e5,
     history: bool = False,
 ) -> CGResult:
     """Solve A x = b with left-preconditioned restarted GMRES(restart).
@@ -65,6 +66,10 @@ def gmres(
 
     bnorm = jnp.sqrt(_dot(m_mv(b), m_mv(b))).astype(dt)
     tol = jnp.maximum(jnp.asarray(rtol, dt) * bnorm, jnp.asarray(atol, dt))
+    dgate = (
+        jnp.asarray(divtol, dt) * bnorm if divtol and divtol > 0
+        else jnp.asarray(jnp.inf, dt)
+    )
 
     def classify(rnorm, it):
         return jnp.where(
@@ -77,9 +82,13 @@ def gmres(
                     rnorm <= tol,
                     jnp.int32(ConvergedReason.CONVERGED_RTOL),
                     jnp.where(
-                        it >= maxiter,
-                        jnp.int32(ConvergedReason.DIVERGED_ITS),
-                        jnp.int32(ConvergedReason.ITERATING),
+                        rnorm >= dgate,
+                        jnp.int32(ConvergedReason.DIVERGED_DTOL),
+                        jnp.where(
+                            it >= maxiter,
+                            jnp.int32(ConvergedReason.DIVERGED_ITS),
+                            jnp.int32(ConvergedReason.ITERATING),
+                        ),
                     ),
                 ),
             ),

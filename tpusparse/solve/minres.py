@@ -40,6 +40,7 @@ def minres(
     maxiter: int = 10000,
     m_mv: Callable | None = None,
     history: bool = False,
+    divtol: float = 1e5,
 ) -> CGResult:
     """Solve A x = b, A symmetric (indefinite allowed), M SPD.
 
@@ -81,6 +82,10 @@ def minres(
     beta1 = jnp.sqrt(jnp.maximum(beta1_sq, 0.0)).astype(dt)
     # gate on the preconditioned norm (PETSc KSP_NORM_PRECONDITIONED)
     tol = jnp.maximum(jnp.asarray(rtol, dt) * beta1, jnp.asarray(atol, dt))
+    dgate = (
+        jnp.asarray(divtol, dt) * beta1 if divtol and divtol > 0
+        else jnp.asarray(jnp.inf, dt)
+    )
 
     def classify(phibar, it):
         # indefinite M surfaces as phibar = NaN (set where <r, Mr> < 0)
@@ -94,9 +99,13 @@ def minres(
                     phibar <= tol,
                     jnp.int32(ConvergedReason.CONVERGED_RTOL),
                     jnp.where(
-                        it >= maxiter,
-                        jnp.int32(ConvergedReason.DIVERGED_ITS),
-                        jnp.int32(ConvergedReason.ITERATING),
+                        phibar >= dgate,
+                        jnp.int32(ConvergedReason.DIVERGED_DTOL),
+                        jnp.where(
+                            it >= maxiter,
+                            jnp.int32(ConvergedReason.DIVERGED_ITS),
+                            jnp.int32(ConvergedReason.ITERATING),
+                        ),
                     ),
                 ),
             ),

@@ -54,6 +54,7 @@ def cg_pipelined(
     replace_every: int = 50,
     history: bool = False,
     scalar_dtype=None,
+    divtol: float = 1e5,
 ) -> CGResult:
     """Solve A x = b with pipelined PCG.  Same contract as ``cg``:
     convergence on ||r||_2 <= max(rtol*||b||_2, atol), PETSc-style
@@ -78,6 +79,10 @@ def cg_pipelined(
 
     bnorm = jnp.sqrt(_dot(b, b)).astype(dt)
     tol = jnp.maximum(jnp.asarray(rtol, dt) * bnorm, jnp.asarray(atol, dt))
+    dgate = (
+        jnp.asarray(divtol, dt) * bnorm if divtol and divtol > 0
+        else jnp.asarray(jnp.inf, dt)
+    )
 
     r0 = b - a_mv(x0)
     u0 = m_mv(r0)
@@ -96,9 +101,13 @@ def cg_pipelined(
                     rnorm <= tol,
                     jnp.int32(ConvergedReason.CONVERGED_RTOL),
                     jnp.where(
-                        it >= maxiter,
-                        jnp.int32(ConvergedReason.DIVERGED_ITS),
-                        jnp.int32(ConvergedReason.ITERATING),
+                        rnorm >= dgate,
+                        jnp.int32(ConvergedReason.DIVERGED_DTOL),
+                        jnp.where(
+                            it >= maxiter,
+                            jnp.int32(ConvergedReason.DIVERGED_ITS),
+                            jnp.int32(ConvergedReason.ITERATING),
+                        ),
                     ),
                 ),
             ),

@@ -92,6 +92,7 @@ def cg_refined(
     decode: Callable | None = None,
     solver: Callable = cg,
     history: bool = False,
+    divtol: float = 1e5,
 ) -> RefinedResult:
     """Solve A x = b to high-precision tolerances with low-precision inners.
 
@@ -109,6 +110,10 @@ def cg_refined(
     dt = b.dtype
     bnorm = _norm_fast(b)
     tol = jnp.maximum(jnp.asarray(rtol, dt) * bnorm, jnp.asarray(atol, dt))
+    dgate = (
+        jnp.asarray(divtol, dt) * bnorm if divtol and divtol > 0
+        else jnp.asarray(jnp.inf, dt)
+    )
 
     def inner(r_hi, rnorm):
         r_lo = (r_hi / rnorm).astype(lo_dtype)
@@ -142,12 +147,18 @@ def cg_refined(
                     rnorm <= tol,
                     jnp.int32(ConvergedReason.CONVERGED_RTOL),
                     jnp.where(
-                        stalled,
-                        jnp.int32(ConvergedReason.CONVERGED_STALLED),
+                        # a genuine blow-up must NOT be mislabeled as the
+                        # attainable-accuracy stall: dtol outranks it
+                        rnorm >= dgate,
+                        jnp.int32(ConvergedReason.DIVERGED_DTOL),
                         jnp.where(
-                            outer >= max_outer,
-                            jnp.int32(ConvergedReason.DIVERGED_ITS),
-                            jnp.int32(ConvergedReason.ITERATING),
+                            stalled,
+                            jnp.int32(ConvergedReason.CONVERGED_STALLED),
+                            jnp.where(
+                                outer >= max_outer,
+                                jnp.int32(ConvergedReason.DIVERGED_ITS),
+                                jnp.int32(ConvergedReason.ITERATING),
+                            ),
                         ),
                     ),
                 ),
@@ -210,6 +221,7 @@ def cg_refined_tf(
     decode: Callable | None = None,
     solver: Callable = cg,
     history: bool = False,
+    divtol: float = 1e5,
 ) -> RefinedResult:
     """Defect correction with a **two-float** outer loop — no f64 anywhere.
 
@@ -235,6 +247,10 @@ def cg_refined_tf(
     f32 = jnp.float32
     bnorm = df_norm2(b)
     tol = jnp.maximum(jnp.asarray(rtol, f32) * bnorm, jnp.asarray(atol, f32))
+    dgate = (
+        jnp.asarray(divtol, f32) * bnorm if divtol and divtol > 0
+        else jnp.asarray(jnp.inf, f32)
+    )
 
     def inner(r, rnorm):
         # normalized f32 view of the DF64 residual
@@ -264,12 +280,16 @@ def cg_refined_tf(
                     rnorm <= tol,
                     jnp.int32(ConvergedReason.CONVERGED_RTOL),
                     jnp.where(
-                        stalled,
-                        jnp.int32(ConvergedReason.CONVERGED_STALLED),
+                        rnorm >= dgate,
+                        jnp.int32(ConvergedReason.DIVERGED_DTOL),
                         jnp.where(
-                            outer >= max_outer,
-                            jnp.int32(ConvergedReason.DIVERGED_ITS),
-                            jnp.int32(ConvergedReason.ITERATING),
+                            stalled,
+                            jnp.int32(ConvergedReason.CONVERGED_STALLED),
+                            jnp.where(
+                                outer >= max_outer,
+                                jnp.int32(ConvergedReason.DIVERGED_ITS),
+                                jnp.int32(ConvergedReason.ITERATING),
+                            ),
                         ),
                     ),
                 ),

@@ -27,6 +27,7 @@ def richardson(
     m_mv: Callable | None = None,
     scale: float = 1.0,
     history: bool = False,
+    divtol: float = 1e5,
 ) -> CGResult:
     """Preconditioned Richardson iteration x += scale * M (b - A x)
     (KSPRICHARDSON with ``-ksp_richardson_scale``).
@@ -44,6 +45,10 @@ def richardson(
     dt = b.dtype
     bnorm = jnp.sqrt(_dot(b, b)).astype(dt)
     tol = jnp.maximum(jnp.asarray(rtol, dt) * bnorm, jnp.asarray(atol, dt))
+    dgate = (
+        jnp.asarray(divtol, dt) * bnorm if divtol and divtol > 0
+        else jnp.asarray(jnp.inf, dt)
+    )
     w = jnp.asarray(scale, dt)
 
     def classify(rnorm, it):
@@ -57,9 +62,13 @@ def richardson(
                     rnorm <= tol,
                     jnp.int32(ConvergedReason.CONVERGED_RTOL),
                     jnp.where(
-                        it >= maxiter,
-                        jnp.int32(ConvergedReason.DIVERGED_ITS),
-                        jnp.int32(ConvergedReason.ITERATING),
+                        rnorm >= dgate,
+                        jnp.int32(ConvergedReason.DIVERGED_DTOL),
+                        jnp.where(
+                            it >= maxiter,
+                            jnp.int32(ConvergedReason.DIVERGED_ITS),
+                            jnp.int32(ConvergedReason.ITERATING),
+                        ),
                     ),
                 ),
             ),
@@ -105,15 +114,17 @@ def preonly(
     maxiter: int = 1,
     m_mv: Callable | None = None,
     history: bool = False,
+    divtol: float = 1e5,
 ) -> CGResult:
     """One preconditioner application, x = M b (KSPPREONLY).
 
-    The rtol/atol/maxiter parameters exist for interface compatibility and
-    are ignored (PETSc's preonly likewise performs no convergence test);
+    The rtol/atol/maxiter/divtol parameters exist for interface
+    compatibility and are ignored (PETSc's preonly likewise performs no
+    convergence test);
     the residual is reported for observability (and as the 2-entry
     ``history`` when requested).
     """
-    del x0, rtol, atol, maxiter
+    del x0, rtol, atol, maxiter, divtol
     if m_mv is None:
         m_mv = lambda r: r
     x = m_mv(b)
