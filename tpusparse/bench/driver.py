@@ -230,6 +230,11 @@ def _pick_ksp(
         from tpusparse.solve.minres import minres
 
         return minres
+    if ksp == "chebyshev":
+        # KSPCHEBYSHEV: dot-free iteration (auto eigenvalue estimation)
+        from tpusparse.solve.chebyshev import chebyshev
+
+        return chebyshev
     if ksp == "richardson":
         # KSPRICHARDSON as the top-level (or inner, under mixed precision)
         # solver: multigrid-as-a-solver when pc=gamg
@@ -246,7 +251,7 @@ def _pick_ksp(
         return preonly
     raise ValueError(
         f"unknown ksp {ksp!r} (cg | pipecg | gmres | fgmres | bcgs |"
-        f" minres | richardson | preonly)"
+        f" minres | chebyshev | richardson | preonly)"
     )
 
 

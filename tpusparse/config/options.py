@@ -166,15 +166,15 @@ class Options:
 
         if self.ksp_type not in (
             "cg", "pipecg", "gmres", "fgmres", "bcgs", "minres",
-            "richardson",
+            "chebyshev", "richardson",
             "preonly"
         ):
             # substituting a Krylov METHOD would silently change the
             # algorithm class the user asked for — error, stating why
             raise ValueError(
                 f"-ksp_type {self.ksp_type} is not implemented (supported:"
-                f" cg, pipecg, gmres, fgmres, bcgs, minres, richardson,"
-                f" preonly); not"
+                f" cg, pipecg, gmres, fgmres, bcgs, minres, chebyshev,"
+                f" richardson, preonly); not"
                 f" substituting because the Krylov method changes the"
                 f" algorithm, not just its speed"
             )

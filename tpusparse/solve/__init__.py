@@ -1,4 +1,5 @@
 from tpusparse.solve.bcgs import bicgstab
+from tpusparse.solve.chebyshev import chebyshev
 from tpusparse.solve.bjacobi import BlockJacobi
 from tpusparse.solve.cg import CGResult, ConvergedReason, cg, cg_hostloop
 from tpusparse.solve.checkpoint import CheckpointConfig, cg_checkpointed
@@ -20,6 +21,7 @@ __all__ = [
     "minres",
     "ritz_values",
     "bicgstab",
+    "chebyshev",
     "cg_refined",
     "cg_refined_tf",
     "cg_checkpointed",
