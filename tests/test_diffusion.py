@@ -63,3 +63,26 @@ def test_unpinned_nullspace_is_constant():
     op, a, b = assemble_diffusion(grid, pin=False)
     ones = np.ones(grid.n)
     np.testing.assert_allclose(a.mv(ones), 0.0, atol=1e-9)
+
+
+def test_cli_problem_diffusion(capsys):
+    """-problem diffusion through the full driver protocol: the variable-
+    coefficient second problem family with the ALGEBRAIC manufactured gate
+    (b = A exact, Linf vs exact measures the solver, not h^2)."""
+    from tpusparse.__main__ import main
+
+    rc = main([
+        "-da_grid_x", "16", "-da_grid_y", "16", "-da_grid_z", "16",
+        "-problem", "diffusion", "-diffusion_contrast", "50",
+        "-ksp_rtol", "1e-9", "-ksp_converged_reason",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Linear solve converged" in out
+    assert "Problem: diffusion(contrast=50)" in out
+    import json as _json
+    import re
+
+    side = _json.loads(re.search(r"JSON: (.*)", out).group(1))
+    assert side["mat_type"] == "varstencil"
+    assert side["linf_error"] < 1e-7  # algebraic gate (rtol 1e-9 solve)

@@ -88,6 +88,33 @@ def main(argv: list[str] | None = None) -> int:
         print(rep.reference_block())
         print("JSON:", rep.json_sidecar())
         return 0
+    if opts.problem == "diffusion":
+        # -problem diffusion: the second problem family (variable-
+        # coefficient operator; star detection fails by construction)
+        from tpusparse.bench.driver import solve_diffusion
+
+        with trace(opts.profile):
+            rep = solve_diffusion(
+                opts.da_grid_x, opts.da_grid_y, opts.da_grid_z,
+                contrast=opts.diffusion_contrast,
+                rtol=opts.ksp_rtol, atol=opts.ksp_atol,
+                divtol=opts.ksp_divtol, maxiter=opts.ksp_max_it,
+                precision=opts.precision,
+                amg_params=opts.amg_params(),
+                mg_cycle=opts.pc_mg_cycle_type,
+                view=opts.ksp_view,
+            )
+        if opts.ksp_view and rep.solver_view:
+            print(rep.solver_view)
+        if opts.ksp_converged_reason:
+            print(rep.converged_reason_line())
+        print(rep.reference_block())
+        print("JSON:", rep.json_sidecar())
+        return 0
+    if opts.problem != "poisson":
+        raise ValueError(
+            f"unknown -problem {opts.problem!r} (poisson | diffusion)"
+        )
     with trace(opts.profile):  # Score-P/nvprof-parity trace when -profile set
         rep = solve_poisson(
             opts.da_grid_x,

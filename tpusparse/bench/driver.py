@@ -138,11 +138,15 @@ class SolveReport:
         with the matrix provenance, and print "n/a" for the
         error-vs-analytic norm when the file carries no exact solution
         (sentinel ``linf_error < 0``)."""
-        head = (
-            f"Matrix: {self.source} [{self.nx} x {self.ny}]"
-            if self.source
-            else f"[Nx, Ny, Nz]: [{self.nx}, {self.ny}, {self.nz}]"
-        )
+        grid_line = f"[Nx, Ny, Nz]: [{self.nx}, {self.ny}, {self.nz}]"
+        if self.source and self.nz == 1:
+            # file-loaded system: nx x ny are the MATRIX dims
+            head = f"Matrix: {self.source} [{self.nx} x {self.ny}]"
+        elif self.source:
+            # non-Poisson grid problem (e.g. diffusion): name it, keep grid
+            head = f"Problem: {self.source}\n{grid_line}"
+        else:
+            head = grid_line
         linf = (
             f"{self.linf_error:f}" if self.linf_error >= 0.0
             else "n/a (no exact solution in file)"
@@ -1100,6 +1104,143 @@ def _solve_poisson_aij(
         mat_type="aij",
         setup_breakdown={k: round(v, 4) for k, v in breakdown.items()} or None,
         eigenvalues=eig_list,
+    )
+
+
+def solve_diffusion(
+    nx: int,
+    ny: int | None = None,
+    nz: int | None = None,
+    *,
+    contrast: float = 100.0,
+    rtol: float = 1e-8,
+    atol: float = 1e-12,
+    divtol: float = 1e5,
+    maxiter: int = 10000,
+    precision: str = "mixed",
+    amg_params: AMGParams | None = None,
+    mg_cycle: str = "v",
+    warmup: bool = True,
+    view: bool = False,
+) -> SolveReport:
+    """The framework's SECOND problem family through the driver protocol:
+    variable-coefficient diffusion -div(kappa grad u) = f with a
+    ``contrast``-to-1 inclusion field (``grid/diffusion.py``) — the
+    matrix the reference's constant-coefficient benchmark never produces
+    (position-dependent stencil coefficients; the star-structure proof
+    fails by construction and the VarStencil27 fine level exercises the
+    probed Galerkin on variable coefficients).
+
+    The correctness gate is ALGEBRAIC: exact = smooth manufactured field,
+    b = A exact computed in f64, Linf measured against exact — solver
+    accuracy, not discretization error.  Phases follow
+    ``main_ksp.cpp:80-106``.
+    """
+    import time
+
+    from tpusparse.amg.hierarchy import gamg_setup_compiled
+    from tpusparse.grid.diffusion import assemble_diffusion, default_kappa
+    from tpusparse.solve.refine import cg_refined
+
+    ny = ny or nx
+    nz = nz or nx
+    if precision not in ("mixed", "f64", "f32"):
+        raise ValueError(
+            f"problem=diffusion supports precision mixed|f64|f32,"
+            f" got {precision!r}"
+        )
+    mixed = precision == "mixed"
+    hi_dtype = np.float32 if precision == "f32" else np.float64
+    if hi_dtype == np.float64 and not jax.config.jax_enable_x64:
+        raise RuntimeError("enable jax_enable_x64 before building f64 systems")
+    params = amg_params or AMGParams()
+    gamma = 1 if mg_cycle == "v" else 2
+
+    float(jax.jit(lambda: jnp.zeros(()))())  # bring-up outside phases
+
+    t0 = time.perf_counter()
+    grid = Grid3D(nx, ny, nz)
+    kappa = default_kappa(grid, contrast=contrast)
+    op, _, _ = assemble_diffusion(grid, kappa, dtype=hi_dtype)
+    op_lo = (
+        assemble_diffusion(grid, kappa, dtype=np.float32)[0] if mixed
+        else op
+    )
+    # algebraic manufactured solution: exact is smooth + zero at the pin
+    zc, yc, xc = np.meshgrid(
+        grid.cell_centers("z"), grid.cell_centers("y"),
+        grid.cell_centers("x"), indexing="ij",
+    )
+    exact = jnp.asarray(
+        np.cos(2 * np.pi * xc) * np.cos(2 * np.pi * yc)
+        * np.cos(2 * np.pi * zc) - 1.0,   # zero at the pinned cell 0
+        hi_dtype,
+    )
+    b = op.mv(exact)
+    float(b.reshape(-1)[0])  # sync assembly+apply into t_init
+    t_init = time.perf_counter() - t0
+
+    if warmup:
+        _pre = gamg_setup_compiled(op_lo, params)
+        float(_pre.levels[-1].rho)
+        del _pre
+    t0 = time.perf_counter()
+    hier = gamg_setup_compiled(op_lo, params)
+    jax.block_until_ready(hier.levels[-1].rho)
+    t_setup = time.perf_counter() - t0
+
+    if mixed:
+        def solve_fn(op, op_lo, hier, b):
+            return cg_refined(
+                op.mv, op_lo.mv, b, rtol=rtol, atol=atol, divtol=divtol,
+                m_lo_mv=lambda r: vcycle(hier, r, gamma=gamma),
+            )
+    else:
+        def solve_fn(op, op_lo, hier, b):
+            return cg(
+                op.mv, b, rtol=rtol, atol=atol, divtol=divtol,
+                maxiter=maxiter,
+                m_mv=lambda r: vcycle(hier, r, gamma=gamma),
+            )
+    jitted = jax.jit(solve_fn)
+    if warmup:
+        float(jitted(op, op_lo, hier, b).resnorm)
+    t0 = time.perf_counter()
+    res = jitted(op, op_lo, hier, b)
+    resnorm = float(res.resnorm)
+    t_solve = time.perf_counter() - t0
+    if int(res.reason) < 0:
+        raise DivergedError(f"Diverged reason: {int(res.reason)}")
+
+    view_text = None
+    if view:
+        from tpusparse.amg.hierarchy import hierarchy_summary
+
+        view_text = "\n".join([
+            f"KSP Object: type cg, rtol {rtol:g}, atol {atol:g},"
+            f" maxit {maxiter}",
+            f"  precision: {precision}, problem: diffusion"
+            f" (contrast {contrast:g}, VarStencil27 fine level)",
+            hierarchy_summary(hier),
+        ])
+
+    return SolveReport(
+        nx=nx, ny=ny, nz=nz,
+        iters=int(res.iters),
+        resnorm=resnorm,
+        linf_error=float(jnp.abs(res.x - exact).max()),
+        reason=int(res.reason),
+        t_init=t_init,
+        t_setup=t_setup,
+        t_solve=t_solve,
+        rtol=rtol,
+        atol=atol,
+        pc="gamg",
+        precision=precision,
+        outer_iters=int(getattr(res, "outer_iters", 0)),
+        mat_type="varstencil",
+        solver_view=view_text,
+        source=f"diffusion(contrast={contrast:g})",
     )
 
 

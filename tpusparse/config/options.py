@@ -112,6 +112,11 @@ class Options:
     # exact solution) in PETSc's binary viewer format (MatView parity) —
     # the written file solves via -f here or MatLoad in PETSc itself
     mat_view: str = ""
+    # -problem: "poisson" (the reference benchmark) or "diffusion"
+    # (variable-coefficient -div(kappa grad u), grid/diffusion.py —
+    # contrast-to-1 inclusions, VarStencil27 fine level)
+    problem: str = "poisson"
+    diffusion_contrast: float = 100.0
 
     def amg_params(self) -> AMGParams:
         # -mg_levels_pc_type sor selects the multicolor Gauss-Seidel
