@@ -86,3 +86,39 @@ def test_cli_problem_diffusion(capsys):
     side = _json.loads(re.search(r"JSON: (.*)", out).group(1))
     assert side["mat_type"] == "varstencil"
     assert side["linf_error"] < 1e-7  # algebraic gate (rtol 1e-9 solve)
+
+
+def test_sharded_variable_coefficient_solve():
+    """The variable-coefficient operator (VarStencil27, 27 coefficient
+    fields) sharded over the 8-device mesh: GSPMD halo-exchanges every
+    coefficient-field shift and the solve matches single-device
+    iteration-for-iteration — MPIAIJ parity beyond the constant-
+    coefficient benchmark matrix."""
+    from tpusparse.dist import field_sharding, make_mesh, shard_hierarchy
+    from tpusparse.dist.mesh import _put
+
+    grid = Grid3D(16, 16, 16)
+    kappa = default_kappa(grid, contrast=50.0)
+    op, _, b = assemble_diffusion(grid, kappa)
+    hier = gamg_setup(op, AMGParams(coarse_eq_limit=64))
+
+    run = jax.jit(
+        lambda op, h, b: cg(
+            op.mv, b, rtol=1e-10, maxiter=500,
+            m_mv=lambda r: vcycle(h, r),
+        )
+    )
+    res0 = run(op, hier, jnp.asarray(b))
+
+    mesh = make_mesh(8)
+    res1 = run(
+        _put(op, field_sharding(mesh)),
+        shard_hierarchy(hier, mesh),
+        jax.device_put(jnp.asarray(b), field_sharding(mesh)),
+    )
+    assert int(res1.reason) > 0
+    assert int(res0.iters) == int(res1.iters)
+    assert len(res1.x.sharding.device_set) == 8
+    np.testing.assert_allclose(
+        np.asarray(res0.x), np.asarray(res1.x), atol=1e-9
+    )
