@@ -90,8 +90,8 @@ class KSP:
     """Reusable Krylov solver object (PETSc ``KSP`` parity).
 
     Parameters mirror the options the CLI accepts (``config/options.py``):
-    ``ksp_type`` (cg | pipecg | gmres | fgmres | bcgs | richardson |
-    preonly), ``pc_type`` (gamg | jacobi | none), tolerances, and
+    ``ksp_type`` (cg | pipecg | gmres | fgmres | bcgs | minres |
+    chebyshev | richardson | preonly), ``pc_type`` (gamg | jacobi | none), tolerances, and
     ``precision`` ("mixed" = f32 inner solves under f64 defect
     correction — the production mode; "f64"/"f32" uniform).
 
