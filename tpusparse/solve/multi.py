@@ -68,9 +68,9 @@ def _bc(m: jax.Array, ref: jax.Array) -> jax.Array:
     return m.reshape(m.shape + (1,) * (ref.ndim - 1))
 
 
-def _classify_cols(rnorm, it, tol, atol, maxiter, dt):
+def _classify_cols(rnorm, it, tol, atol, maxiter, dt, dgate):
     """Elementwise ConvergedReason over the k columns (the single-RHS
-    solver's chain, broadcast)."""
+    solver's chain incl. the divtol branch, broadcast)."""
     return jnp.where(
         ~jnp.isfinite(rnorm),
         jnp.int32(ConvergedReason.DIVERGED_NANORINF),
@@ -81,9 +81,13 @@ def _classify_cols(rnorm, it, tol, atol, maxiter, dt):
                 rnorm <= tol,
                 jnp.int32(ConvergedReason.CONVERGED_RTOL),
                 jnp.where(
-                    it >= maxiter,
-                    jnp.int32(ConvergedReason.DIVERGED_ITS),
-                    jnp.int32(ConvergedReason.ITERATING),
+                    rnorm >= dgate,
+                    jnp.int32(ConvergedReason.DIVERGED_DTOL),
+                    jnp.where(
+                        it >= maxiter,
+                        jnp.int32(ConvergedReason.DIVERGED_ITS),
+                        jnp.int32(ConvergedReason.ITERATING),
+                    ),
                 ),
             ),
         ),
@@ -99,6 +103,7 @@ def cg_multi(
     maxiter: int = 10000,
     m_mv: Callable | None = None,
     batched_ops: bool = False,
+    divtol: float = 1e5,
 ) -> MultiResult:
     """Masked block CG: solve A x_i = b_i for every column b = B[i].
 
@@ -119,13 +124,19 @@ def cg_multi(
     rtol = jnp.asarray(rtol, dt)
     atol_a = jnp.asarray(atol, dt)
     tol = jnp.maximum(rtol * bnorm, atol_a)
+    dgate = (
+        jnp.asarray(divtol, dt) * bnorm if divtol and divtol > 0
+        else jnp.full_like(bnorm, jnp.inf)
+    )
 
     r0 = b  # x0 = 0 (the reference zeroes the guess, helper.cpp:48)
     z0 = pc(r0)
     rz0 = _bdot(r0, z0)
     rnorm0 = jnp.sqrt(_bdot(r0, r0))
 
-    classify = lambda rn, it: _classify_cols(rn, it, tol, atol_a, maxiter, dt)
+    classify = lambda rn, it: _classify_cols(
+        rn, it, tol, atol_a, maxiter, dt, dgate
+    )
 
     def cond(state):
         rnorm, it = state[5], state[6]
