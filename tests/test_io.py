@@ -233,3 +233,24 @@ def test_cli_f_flag(tmp_path, capsys):
     assert "Linear solve converged" in out
     assert f"Matrix: {path}" in out
     assert "JSON:" in out
+
+
+def test_solution_out_roundtrip(tmp_path):
+    """-ksp_view_solution binary:<file>: the written solution reloads via
+    VecLoad and solves the system (ex10 output side)."""
+    from tpusparse.__main__ import main
+
+    a = _poisson2d(10)
+    x_ref = np.random.default_rng(5).standard_normal(100)
+    b = a @ x_ref
+    path = str(tmp_path / "s.petsc")
+    save_petsc_mat(path, a)
+    save_petsc_vec(path, b, append=True)
+    out = str(tmp_path / "x.petsc")
+    rc = main([
+        "-f", path, "-ksp_rtol", "1e-11", "-pc_type", "jacobi",
+        "-precision", "f64", "-ksp_view_solution", f"binary:{out}",
+    ])
+    assert rc == 0
+    x = load_petsc_vec(out)
+    np.testing.assert_allclose(x, x_ref, atol=1e-7)

@@ -28,6 +28,16 @@ jax.config.update("jax_compilation_cache_dir", "/root/.cache/tpusparse_xla")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
+def _viewer_file(spec: str) -> str:
+    """Parse a PETSc viewer spec of the 'binary:<filename>' shape."""
+    if not spec:
+        return ""
+    fmt, _, fname = spec.partition(":")
+    if fmt != "binary" or not fname:
+        raise ValueError(f"{spec!r}: expected 'binary:<filename>'")
+    return fname
+
+
 def main(argv: list[str] | None = None) -> int:
     from tpusparse.bench.driver import solve_poisson
     from tpusparse.config import load_options
@@ -80,6 +90,7 @@ def main(argv: list[str] | None = None) -> int:
                 ksp_gmres_restart=opts.ksp_gmres_restart,
                 ksp_richardson_scale=opts.ksp_richardson_scale,
                 view=opts.ksp_view,
+                solution_out=_viewer_file(opts.ksp_view_solution),
             )
         if opts.ksp_view and rep.solver_view:
             print(rep.solver_view)

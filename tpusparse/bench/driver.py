@@ -1259,9 +1259,15 @@ def solve_from_file(
     ksp_gmres_restart: int = 30,
     ksp_richardson_scale: float = 1.0,
     view: bool = False,
+    solution_out: str = "",
 ) -> SolveReport:
     """Solve a system read from a file — PETSc KSP tutorial ``ex10`` ("solve
     a linear system from a file") with ``MatLoad``/``VecLoad`` parity.
+
+    ``solution_out``: write the solution vector to this path in PETSc
+    binary format after a successful solve (``-ksp_view_solution
+    binary:<file>`` — loadable by PETSc's ``VecLoad`` or
+    ``sparse.io.load_petsc_vec`` here).
 
     ``path`` is a PETSc binary viewer file (``sparse/io.py``; the format
     ``-ksp_view_mat binary`` writes) or a MatrixMarket ``.mtx``.  Objects in
@@ -1324,6 +1330,11 @@ def solve_from_file(
 
     if res.reason < 0:
         raise DivergedError(f"Diverged reason: {res.reason}")
+
+    if solution_out:
+        from tpusparse.sparse.io import save_petsc_vec
+
+        save_petsc_vec(solution_out, np.asarray(res.x, dtype=np.float64))
 
     view_text = None
     if view:

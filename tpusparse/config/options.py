@@ -112,6 +112,9 @@ class Options:
     # exact solution) in PETSc's binary viewer format (MatView parity) —
     # the written file solves via -f here or MatLoad in PETSc itself
     mat_view: str = ""
+    # -ksp_view_solution binary:<file>: write the solution vector in
+    # PETSc binary format after the solve (file-driver -f runs)
+    ksp_view_solution: str = ""
     # -problem: "poisson" (the reference benchmark) or "diffusion"
     # (variable-coefficient -div(kappa grad u), grid/diffusion.py —
     # contrast-to-1 inclusions, VarStencil27 fine level)
