@@ -108,3 +108,39 @@ def test_ksp_mat_solve_requires_cg():
     ksp.set_operators(op)
     with pytest.raises(ValueError, match="mat_solve"):
         ksp.mat_solve(jnp.stack([b]))
+
+
+def test_refined_multi_blowup_reports_dtol():
+    """Regression (review finding): a diverging column in the block
+    defect-correction loop must report DIVERGED_DTOL, not the positive
+    CONVERGED_STALLED (which error_if_not_converged would wave through)."""
+    import scipy.sparse as sp
+
+    from tpusparse.solve.cg import ConvergedReason
+    from tpusparse.solve.multi import refined_multi
+
+    n = 32
+    rng = np.random.default_rng(1)
+    s = rng.standard_normal((n, n))
+    a_bad = np.eye(n) + 5.0 * (s - s.T)       # nonsymmetric: CG blows up
+    lap = sp.diags(
+        [2.0 * np.ones(n), -np.ones(n - 1), -np.ones(n - 1)], [0, -1, 1]
+    ).toarray() + 0.1 * np.eye(n)
+
+    # column 0 solves the good SPD system; the OUTER operator for column 1
+    # is the bad one, so its defect loop diverges
+    a_hi = jnp.asarray(np.stack([lap, a_bad]))
+    a_lo = a_hi.astype(jnp.float32)
+    b = jnp.asarray(np.stack([lap @ np.ones(n), rng.standard_normal(n)]))
+
+    res = refined_multi(
+        lambda v: jnp.einsum("kij,kj->ki", a_hi, v),
+        lambda v: jnp.einsum("kij,kj->ki", a_lo, v),
+        b, rtol=1e-10, atol=1e-12, max_outer=40, batched_ops=True,
+    )
+    reasons = np.asarray(res.reason)
+    assert reasons[0] > 0
+    assert reasons[1] in (
+        int(ConvergedReason.DIVERGED_DTOL),
+        int(ConvergedReason.DIVERGED_NANORINF),
+    ), reasons

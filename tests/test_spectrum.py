@@ -132,3 +132,18 @@ def test_cli_flag(capsys):
     assert rc == 0
     assert "Iteratively computed eigenvalues" in out
     assert "kappa(MA)" in out
+
+
+def test_driver_aij_eigenvalues():
+    """Regression (review finding): the aij general executor's uniform-
+    precision route must thread spectrum capture — this exact call used to
+    crash with 'CGResult is not subscriptable'."""
+    from tpusparse.bench.driver import solve_poisson
+
+    rep = solve_poisson(
+        14, 14, 14, rtol=1e-8, precision="f64", mat_type="aij",
+        structure_detect=False, compute_eigenvalues=True,
+    )
+    assert rep.reason > 0
+    ev = np.asarray(rep.eigenvalues)
+    assert ev.size == rep.iters and 0.0 < ev.min()

@@ -49,10 +49,14 @@ def main(argv: list[str] | None = None) -> int:
         # -mat_view binary:<file> (MatView parity): write the assembled
         # system — matrix, rhs, exact solution — as PETSc binary objects.
         # The file round-trips: solvable via -f here, or MatLoad in PETSc.
-        fmt, _, fname = opts.mat_view.partition(":")
-        if fmt != "binary" or not fname:
+        fname = _viewer_file(opts.mat_view)
+        if opts.problem != "poisson":
+            # the export below assembles the POISSON system; writing it
+            # during a different problem's run would hand the user a file
+            # that does not match the solve they exported from
             raise ValueError(
-                f"-mat_view {opts.mat_view!r}: expected 'binary:<filename>'"
+                "-mat_view export supports -problem poisson only (the"
+                f" requested problem is {opts.problem!r})"
             )
         from tpusparse.grid.grid3d import Grid3D
         from tpusparse.grid.poisson import assemble_poisson
@@ -101,7 +105,29 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if opts.problem == "diffusion":
         # -problem diffusion: the second problem family (variable-
-        # coefficient operator; star detection fails by construction)
+        # coefficient operator; star detection fails by construction).
+        # The diffusion driver is cg+gamg; silently substituting the
+        # method a user explicitly asked for would violate the options
+        # policy (config/options.py::validate) — error, stating why.
+        provided = getattr(opts, "_provided", ())
+        if "ksp_type" in provided and opts.ksp_type != "cg":
+            raise ValueError(
+                f"-problem diffusion runs -ksp_type cg (got"
+                f" {opts.ksp_type!r}); other Krylov methods are not wired"
+                " to the diffusion driver"
+            )
+        if "pc_type" in provided and opts.pc_type != "gamg":
+            raise ValueError(
+                f"-problem diffusion runs -pc_type gamg (got"
+                f" {opts.pc_type!r})"
+            )
+        if opts.ksp_monitor or opts.ksp_compute_eigenvalues:
+            import warnings
+
+            warnings.warn(
+                "-ksp_monitor/-ksp_compute_eigenvalues are not wired to"
+                " the diffusion driver; ignoring"
+            )
         from tpusparse.bench.driver import solve_diffusion
 
         with trace(opts.profile):

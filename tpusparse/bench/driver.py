@@ -55,9 +55,12 @@ class SolveReport:
     residual_history: list | None = None
     # -ksp_view text (KSPView/PCView parity), filled when view=True
     solver_view: str | None = None
-    # matrix provenance for file-loaded systems (-f, MatLoad parity);
-    # None for assembled Poisson runs
+    # matrix provenance for file-loaded systems (-f, MatLoad parity) or
+    # non-Poisson problem families; None for assembled Poisson runs
     source: str | None = None
+    # True when the system came from a file: nx/ny are MATRIX dims, not
+    # grid dims (reference_block keys on this, not on shape inference)
+    source_is_file: bool = False
     # -ksp_compute_eigenvalues data: Ritz values of the preconditioned
     # operator M A from the CG iteration's own Lanczos scalars
     # (solve/spectrum.py), ascending; None unless requested
@@ -139,7 +142,7 @@ class SolveReport:
         error-vs-analytic norm when the file carries no exact solution
         (sentinel ``linf_error < 0``)."""
         grid_line = f"[Nx, Ny, Nz]: [{self.nx}, {self.ny}, {self.nz}]"
-        if self.source and self.nz == 1:
+        if self.source_is_file:
             # file-loaded system: nx x ny are the MATRIX dims
             head = f"Matrix: {self.source} [{self.nx} x {self.ny}]"
         elif self.source:
@@ -1027,7 +1030,7 @@ def _solve_poisson_aij(
             return ksp_solve(
                 op_hi.mv, b, rtol=rtol, atol=atol, divtol=divtol,
                 maxiter=maxiter,
-                m_mv=m_of(pc_state), history=monitor,
+                m_mv=m_of(pc_state), **kw,
             )
 
     jitted = jax.jit(solve_fn)
@@ -1373,4 +1376,5 @@ def solve_from_file(
         mat_type="aij",
         solver_view=view_text,
         source=path,
+        source_is_file=True,
     )

@@ -471,6 +471,7 @@ class KSP:
         mixed = self.precision == "mixed"
         gamma = 1 if self.mg_cycle == "v" else 2
         rtol, atol, maxiter = self.rtol, self.atol, self.maxiter
+        divtol = self.divtol
 
         # the batched program vmaps the single-column applies, so every
         # container must run its XLA form: the padded/fused layout's
@@ -505,12 +506,12 @@ class KSP:
                 def solve_fn(op_hi, op_lo, pc_state, bb):
                     return refined_multi(
                         op_hi.mv, op_lo.mv, bb, rtol=rtol, atol=atol,
-                        m_lo_mv=m_of(pc_state),
+                        divtol=divtol, m_lo_mv=m_of(pc_state),
                     )
             else:
                 def solve_fn(op_hi, op_lo, pc_state, bb):
                     return cg_multi(
-                        op_hi.mv, bb, rtol=rtol, atol=atol,
+                        op_hi.mv, bb, rtol=rtol, atol=atol, divtol=divtol,
                         maxiter=maxiter, m_mv=m_of(pc_state),
                     )
             self._jitted_multi = jax.jit(solve_fn)

@@ -67,6 +67,11 @@ def chebyshev(
         else jnp.asarray(jnp.inf, dt)
     )
 
+    if emax is None and emin is not None:
+        raise ValueError(
+            "emin without emax: the auto-estimate would silently discard"
+            " the supplied lower bound — give both bounds or neither"
+        )
     if emax is None:
         # rho(M A) by power iteration — deterministic non-smooth start
         # (estimate_rho_dinv_a's recipe, generalized to any SPD/negative-

@@ -196,6 +196,7 @@ def refined_multi(
     encode: Callable | None = None,
     decode: Callable | None = None,
     batched_ops: bool = False,
+    divtol: float = 1e5,
 ) -> MultiResult:
     """Block mixed-precision defect correction (``cg_refined`` per column,
     masked): f32 block-CG inners under per-column f64 outer gates, with the
@@ -223,6 +224,10 @@ def refined_multi(
     rtol = jnp.asarray(rtol, dt)
     atol_a = jnp.asarray(atol, dt)
     tol = jnp.maximum(rtol * bnorm, atol_a)
+    dgate = (
+        jnp.asarray(divtol, dt) * bnorm if divtol and divtol > 0
+        else jnp.full_like(bnorm, jnp.inf)
+    )
 
     def classify(rnorm, prev, outer):
         stalled = (outer >= 2) & (rnorm > 0.5 * prev)
@@ -236,12 +241,19 @@ def refined_multi(
                     rnorm <= tol,
                     jnp.int32(ConvergedReason.CONVERGED_RTOL),
                     jnp.where(
-                        stalled,
-                        jnp.int32(ConvergedReason.CONVERGED_STALLED),
+                        # a genuine blow-up must NOT be mislabeled as the
+                        # attainable-accuracy stall: dtol outranks it
+                        # (same ordering as cg_refined)
+                        rnorm >= dgate,
+                        jnp.int32(ConvergedReason.DIVERGED_DTOL),
                         jnp.where(
-                            outer >= max_outer,
-                            jnp.int32(ConvergedReason.DIVERGED_ITS),
-                            jnp.int32(ConvergedReason.ITERATING),
+                            stalled,
+                            jnp.int32(ConvergedReason.CONVERGED_STALLED),
+                            jnp.where(
+                                outer >= max_outer,
+                                jnp.int32(ConvergedReason.DIVERGED_ITS),
+                                jnp.int32(ConvergedReason.ITERATING),
+                            ),
                         ),
                     ),
                 ),
