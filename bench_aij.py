@@ -12,10 +12,15 @@ Prints exactly one JSON line on stdout.
 """
 
 import json
+import os
 import sys
 
 import jax
 
+if os.environ.get("JAX_PLATFORMS"):
+    # the env var alone does not override an installed TPU plugin
+    # in-process (same policy as __main__.py / bench.py)
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/tpusparse_xla")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
@@ -26,6 +31,14 @@ RTOL = 1e-8
 
 
 def main() -> None:
+    from bench import _wait_for_device
+
+    if not _wait_for_device():
+        print("bench_aij: no usable accelerator (device discovery"
+              " hung/failed repeatedly); aborting instead of hanging",
+              file=sys.stderr)
+        raise SystemExit(3)
+
     from tpusparse.bench.driver import solve_poisson
 
     # default: production aij (structure detection on — the star proof
