@@ -96,3 +96,13 @@ def test_chebyshev_history_and_maxiter():
     assert int(res.reason) == int(ConvergedReason.DIVERGED_ITS)
     h = np.asarray(hist)
     assert h[0] > 0 and (h[1 : int(res.iters) + 1] > 0).all()
+
+
+def test_chebyshev_mixed_inner():
+    """chebyshev as the INNER solver of mixed-precision defect correction
+    (the production wrapper accepts any solver with the cg contract)."""
+    from tpusparse.bench.driver import solve_poisson
+
+    rep = solve_poisson(16, 16, 16, rtol=1e-8, ksp="chebyshev")
+    assert rep.reason > 0
+    assert rep.linf_error < 5e-2  # O(h^2) at 16^3
