@@ -162,7 +162,8 @@ def main(argv: list[str] | None = None) -> int:
             divtol=opts.ksp_divtol,
             maxiter=opts.ksp_max_it,
             pc=opts.pc_type,
-            amg_params=opts.amg_params() if opts.pc_type == "gamg" else None,
+            # always built: non-gamg PCs read pc_bjacobi_bs etc. from it
+            amg_params=opts.amg_params(),
             n_devices=opts.devices,
             precision=opts.precision,
             layout=opts.layout,

@@ -393,7 +393,12 @@ def solve_poisson(
     # the fused/padded kernels smooth with point Jacobi only; a bjacobi
     # sub-PC (-pc_bjacobi_bs) routes through the plain XLA cycle, whose
     # hierarchy carries the batched inverted line blocks (amg/hierarchy.py)
-    plain_only = _plain_cycle_only(amg_params)
+    plain_only = _plain_cycle_only(amg_params) or pc == "sor"
+    if n_devices > 1 and pc in ("sor", "bjacobi"):
+        raise NotImplementedError(
+            f"pc_type={pc!r} is single-device (its state is not wired"
+            " through the sharding layer); use gamg/jacobi multi-device"
+        )
     fused_sh_ok = (
         mixed and n_devices > 1 and pc == "gamg" and not plain_only
         and grid.shape[0] % n_devices == 0
@@ -549,6 +554,38 @@ def _setup_and_solve(
     elif pc == "jacobi":
         pc_state = 1.0 / op_lo.diagonal_field()
         m_of = lambda pc_state: (lambda r: pc_state * r)
+    elif pc == "sor":
+        # standalone PCSOR, in the CG-compatible SSOR form (PETSc's
+        # -pc_sor_symmetric): one forward + one reversed multicolor GS
+        # sweep — masked simultaneous updates within a color ARE a GS
+        # ordering (amg/hierarchy._smooth's 'sor' smoother, as its own PC)
+        if not hasattr(op_lo, "gs_color_masks"):
+            raise ValueError(
+                "pc_type='sor' needs a colorable grid operator"
+                f" (gs_color_masks); {type(op_lo).__name__} has none"
+            )
+        # the operator rides INSIDE pc_state (m_of only receives
+        # pc_state; a python closure over op_lo would bake its fields
+        # into the HLO as literals — the driver-wide rule)
+        pc_state = (
+            1.0 / op_lo.diagonal_field(),
+            tuple(op_lo.gs_color_masks()),
+            op_lo,
+        )
+
+        def m_of(pc_state):
+            dinv, masks, sop = pc_state
+
+            def apply(r):
+                x = None
+                for m in masks + masks[::-1]:
+                    if x is None:
+                        x = jnp.where(m, dinv * r, jnp.zeros_like(r))
+                    else:
+                        x = jnp.where(m, x + dinv * (r - sop.mv(x)), x)
+                return x
+
+            return apply
     elif pc == "none":
         pc_state = jnp.zeros(())
         m_of = lambda pc_state: None
@@ -1008,6 +1045,29 @@ def _solve_poisson_aij(
         )
         pc_state = 1.0 / diag
         m_of = lambda pc_state: (lambda r: pc_state * r)
+    elif pc == "bjacobi":
+        # standalone PCBJACOBI: batched inverted bs x bs diagonal blocks
+        # (solve/bjacobi.py); bs = -pc_bjacobi_bs, 0 = the point-Jacobi
+        # degeneracy (the one-block-per-process shape the reference's
+        # sub-PC config reduces to)
+        from tpusparse.solve.bjacobi import BlockJacobi
+
+        bs = (amg_params or AMGParams()).bjacobi_bs
+        if a is None:
+            raise ValueError(
+                "pc_type='bjacobi' needs the host CSR (assembly='host'"
+                " or 'auto' with structure detection off keeps it)"
+            )
+        if bs and bs > 1:
+            pc_state = BlockJacobi.build(
+                a, bs, dtype=lo_dtype if mixed else hi_dtype
+            )
+            m_of = lambda pc_state: pc_state.apply
+        else:
+            pc_state = 1.0 / jnp.asarray(
+                a.diagonal(), lo_dtype if mixed else hi_dtype
+            )
+            m_of = lambda pc_state: (lambda r: pc_state * r)
     elif pc == "none":
         pc_state = jnp.zeros(())
         m_of = lambda pc_state: None

@@ -62,7 +62,7 @@ class Options:
     mat_type: str = "stencil"
 
     # PC
-    pc_type: str = "gamg"           # gamg | jacobi | none
+    pc_type: str = "gamg"           # gamg | jacobi | sor | bjacobi | none
     pc_gamg_type: str = "agg"
     pc_gamg_agg_nsmooths: int = 1
     pc_gamg_threshold: float = 0.0
@@ -193,7 +193,7 @@ class Options:
                 f"-mat_type {self.mat_type}: 'stencil' (structured fast"
                 f" path) or 'aij' (general assembled CSR, MATAIJ parity)"
             )
-        degrade("pc_type", ("gamg", "jacobi", "none"), "gamg")
+        degrade("pc_type", ("gamg", "jacobi", "sor", "bjacobi", "none"), "gamg")
         degrade("pc_gamg_aggregation", ("auto", "geometric", "greedy"),
                 "auto")
         degrade("pc_gamg_type", ("agg",), "agg")
