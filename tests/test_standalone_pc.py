@@ -60,3 +60,33 @@ def test_cli_pc_sor(capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "Linear solve converged" in out
+
+
+def test_ksp_object_sor_and_bjacobi():
+    """The standalone PCs through the KSP object API."""
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from tpusparse import KSP
+    from tpusparse.grid.grid3d import Grid3D
+    from tpusparse.grid.poisson import assemble_poisson, poisson_stencil
+
+    op, b, exact = poisson_stencil(Grid3D(14, 14, 14))
+    k1 = KSP(pc_type="sor", rtol=1e-8, precision="f64")
+    k1.set_operators(op)
+    r1 = k1.solve(b)
+    assert r1.converged
+    assert float(jnp.abs(r1.x - exact).max()) < 4e-2  # O(h^2) at 14^3
+
+    a, rhs, _ = assemble_poisson(Grid3D(12, 12, 12))
+    from tpusparse.amg import AMGParams
+
+    k2 = KSP(pc_type="bjacobi", rtol=1e-8, precision="f64",
+             amg_params=AMGParams(bjacobi_bs=12))
+    k2.set_operators(a)
+    r2 = k2.solve(jnp.asarray(rhs))
+    assert r2.converged
+    res = sp.csr_matrix(
+        (a.data, a.indices, a.indptr), shape=a.shape
+    ) @ __import__("numpy").asarray(r2.x) - rhs
+    assert float(abs(res).max()) < 1e-5  # rtol 1e-8 vs ||b||~O(1e2)

@@ -91,7 +91,7 @@ class KSP:
 
     Parameters mirror the options the CLI accepts (``config/options.py``):
     ``ksp_type`` (cg | pipecg | gmres | fgmres | bcgs | minres |
-    chebyshev | richardson | preonly), ``pc_type`` (gamg | jacobi | none), tolerances, and
+    chebyshev | richardson | preonly), ``pc_type`` (gamg | jacobi | sor | bjacobi | none), tolerances, and
     ``precision`` ("mixed" = f32 inner solves under f64 defect
     correction — the production mode; "f64"/"f32" uniform).
 
@@ -127,7 +127,7 @@ class KSP:
 
         if precision not in ("mixed", "f64", "f32"):
             raise ValueError(f"unknown precision {precision!r}")
-        if pc_type not in ("gamg", "jacobi", "none"):
+        if pc_type not in ("gamg", "jacobi", "sor", "bjacobi", "none"):
             raise ValueError(f"unknown pc_type {pc_type!r}")
         if mg_cycle not in ("v", "w"):
             raise ValueError(f"unknown mg_cycle {mg_cycle!r}")
@@ -345,6 +345,61 @@ class KSP:
             )
             self._pc_state = 1.0 / diag
             self._m_of = lambda ps: (lambda r: ps * r)
+        elif self.pc_type == "sor":
+            # standalone PCSOR in the CG-compatible SSOR form (the same
+            # construction as bench/driver.py's): the operator rides
+            # inside pc_state — never a baked closure
+            if not hasattr(self._op_lo, "gs_color_masks"):
+                raise ValueError(
+                    "pc_type='sor' needs a colorable grid operator"
+                    f" (gs_color_masks); {type(self._op_lo).__name__}"
+                    " has none"
+                )
+            self._pc_state = (
+                1.0 / self._op_lo.diagonal_field(),
+                tuple(self._op_lo.gs_color_masks()),
+                self._op_lo,
+            )
+
+            def _sor_m_of(ps):
+                dinv, masks, sop = ps
+
+                def apply(r):
+                    x = None
+                    for m in masks + masks[::-1]:
+                        if x is None:
+                            x = jnp.where(m, dinv * r, jnp.zeros_like(r))
+                        else:
+                            x = jnp.where(
+                                m, x + dinv * (r - sop.mv(x)), x
+                            )
+                    return x
+
+                return apply
+
+            self._m_of = _sor_m_of
+        elif self.pc_type == "bjacobi":
+            from tpusparse.solve.bjacobi import BlockJacobi
+
+            bs = self.amg_params.bjacobi_bs
+            if self._host_a is None:
+                raise ValueError(
+                    "pc_type='bjacobi' on the KSP object needs a"
+                    " HostCSR/scipy operator (set_operators with a host"
+                    " matrix keeps it)"
+                )
+            if bs and bs > 1:
+                self._pc_state = BlockJacobi.build(
+                    self._host_a, bs,
+                    dtype=np.float32 if mixed else None,
+                )
+                self._m_of = lambda ps: ps.apply
+            else:  # point degeneracy
+                self._pc_state = 1.0 / jnp.asarray(
+                    self._host_a.diagonal(),
+                    jnp.float32 if mixed else jnp.float64,
+                )
+                self._m_of = lambda ps: (lambda r: ps * r)
         else:  # none
             self._pc_state = jnp.zeros(())
             self._m_of = lambda ps: None
