@@ -175,9 +175,8 @@ class KSP:
             divtol=opts.ksp_divtol,
             maxiter=opts.ksp_max_it,
             precision=opts.precision,
-            amg_params=(
-                opts.amg_params() if opts.pc_type == "gamg" else None
-            ),
+            # always built: bjacobi reads pc_bjacobi_bs from it
+            amg_params=opts.amg_params(),
             mg_cycle=opts.pc_mg_cycle_type,
             gmres_restart=opts.ksp_gmres_restart,
             richardson_scale=opts.ksp_richardson_scale,
