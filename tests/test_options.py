@@ -95,3 +95,15 @@ def test_comments_and_blank_lines(tmp_path):
     p.write_text("# comment\n\n-ksp_rtol 1e-9  # trailing\n-pc_type none\n")
     d = parse_options_file(p)
     assert d == {"ksp_rtol": "1e-9", "pc_type": "none"}
+
+
+def test_help_flag(capsys):
+    """-help prints the full options database (PETSc parity), generated
+    from the dataclass so it cannot drift."""
+    from tpusparse.__main__ import main
+
+    rc = main(["-help"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "-ksp_rtol" in out and "-pc_gamg_agg_nsmooths" in out
+    assert "-config <file>" in out

@@ -44,7 +44,14 @@ def main(argv: list[str] | None = None) -> int:
 
     from tpusparse.utils.profiling import trace
 
-    opts = load_options(argv if argv is not None else sys.argv[1:])
+    args = argv if argv is not None else sys.argv[1:]
+    if "-help" in args or "--help" in args:
+        # PETSc prints its options database under -help
+        from tpusparse.config.options import help_text
+
+        print(help_text())
+        return 0
+    opts = load_options(args)
     if opts.mat_view and not opts.f:
         # -mat_view binary:<file> (MatView parity): write the assembled
         # system — matrix, rhs, exact solution — as PETSc binary objects.

@@ -296,6 +296,24 @@ def _coerce(name: str, raw: str):
     return raw
 
 
+def help_text() -> str:
+    """PETSc ``-help`` parity: list every option the database accepts,
+    with its type and default (generated from the Options dataclass so it
+    can never drift from the implementation)."""
+    lines = [
+        "tpusparse options database (PETSc names kept where they exist):",
+        f"  {'-option':<34}{'type':<8}default",
+    ]
+    for f in dataclasses.fields(Options):
+        t = getattr(f.type, "__name__", None) or str(f.type)
+        lines.append(f"  -{f.name:<33}{t:<8}{f.default!r}")
+    lines.append(
+        "  -config <file>                    str     ''   "
+        "(options file, PETSc format; CLI flags override it)"
+    )
+    return "\n".join(lines)
+
+
 def load_options(argv: list[str] | None = None) -> Options:
     """Build Options from CLI argv (after a '-config file' is expanded
     in-place, so CLI flags that come later override the file — PETSc
