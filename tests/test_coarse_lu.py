@@ -107,3 +107,26 @@ def test_option_wiring():
         opts = load_options(["-mg_coarse_pc_type", "cholesky"])
         assert opts.mg_coarse_pc_type == "jacobi"
         assert any("mg_coarse_pc_type" in str(x.message) for x in w)
+
+
+def test_dense_lu_capped_on_early_stopped_hierarchy():
+    """Review finding: max_levels (or stalled coarsening) can leave a big
+    'coarsest' level; the dense inverse must refuse instead of OOM."""
+    import pytest
+
+    from tpusparse.grid.poisson import poisson_stencil
+
+    op, _, _ = poisson_stencil(Grid3D(64, 64, 64))
+    with pytest.raises(ValueError, match="dense-inverse cap"):
+        gamg_setup(op, AMGParams(coarse_solve="lu", max_levels=2))
+
+
+def test_aij_setups_validate_coarse_solve():
+    import pytest
+
+    from tpusparse.amg.unstructured import gamg_setup_unstructured
+    from tpusparse.grid.poisson import assemble_poisson
+
+    a, _, _ = assemble_poisson(Grid3D(12, 12, 12))
+    with pytest.raises(ValueError, match="unknown coarse_solve"):
+        gamg_setup_unstructured(a, AMGParams(coarse_solve="cholesky"))

@@ -151,3 +151,82 @@ def test_requires_operator_and_solve():
         ksp.setup()
     with pytest.raises(RuntimeError, match="no solve"):
         _ = ksp.iterations
+
+
+def test_reuse_swap_on_padded_layout():
+    """Review finding: KSPSetReusePreconditioner + operator swap on the
+    PADDED layout used to leave a padded hierarchy with an unpadded
+    operator twin (shape crash on the next solve).  The swapped twin must
+    be re-padded when compatible."""
+    import numpy as np
+
+    from tpusparse.grid.poisson import poisson_stencil
+
+    import jax
+
+    g = Grid3D(16, 16, 16)
+    op, b, _ = poisson_stencil(g)
+    ksp = KSP(rtol=1e-7, layout="padded")
+    ksp.set_operators(op)
+    r1 = ksp.solve(b)
+    assert r1.converged
+    # swap in a scaled twin (same grid): PC kept, operator re-padded
+    op_scaled = jax.tree.map(
+        lambda x: 1.5 * x if hasattr(x, "dtype") and x.dtype.kind == "f"
+        else x, op,
+    )
+    ksp.set_operators(op_scaled)
+    r2 = ksp.solve(1.5 * b)           # same solution, scaled system
+    assert r2.converged
+    np.testing.assert_allclose(
+        np.asarray(r2.x), np.asarray(r1.x), rtol=3e-4, atol=1e-6
+    )  # two independent rtol-1e-7 solves of the scaled pair
+
+
+def test_no_reuse_swap_invalidates_mat_solve_twin():
+    """Review finding: reuse_preconditioner=False + operator swap must not
+    leave mat_solve preconditioning the new operator with the OLD
+    operator's plain-twin hierarchy."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpusparse.grid.poisson import poisson_stencil
+
+    g = Grid3D(12, 12, 12)
+    op, b, _ = poisson_stencil(g)
+    import jax
+
+    ksp = KSP(rtol=1e-8, precision="f64", reuse_preconditioner=False)
+    ksp.set_operators(op)
+    res1 = ksp.mat_solve(jnp.stack([b.reshape(-1)]))
+    assert bool(res1.reason[0] > 0)
+    op_scaled = jax.tree.map(
+        lambda x: 3.0 * x if hasattr(x, "dtype") and x.dtype.kind == "f"
+        else x, op,
+    )
+    ksp.set_operators(op_scaled)
+    assert ksp._pc_state_plain is None  # twin dropped with the PC
+    res2 = ksp.mat_solve(jnp.stack([(3.0 * b).reshape(-1)]))
+    assert bool(res2.reason[0] > 0)
+    np.testing.assert_allclose(
+        np.asarray(res2.x[0]), np.asarray(res1.x[0]), rtol=1e-6, atol=1e-8
+    )
+
+
+def test_padded_layout_with_plain_only_params_errors():
+    """Review finding: the KSP object must give the CLI driver's error for
+    layout='padded' + point-Jacobi-incompatible params, not a silent
+    fallback."""
+    import pytest
+
+    from tpusparse.amg import AMGParams
+    from tpusparse.grid.poisson import poisson_stencil
+
+    op, b, _ = poisson_stencil(Grid3D(16, 16, 16))
+    ksp = KSP(
+        rtol=1e-7, layout="padded",
+        amg_params=AMGParams(coarse_solve="lu"),
+    )
+    ksp.set_operators(op)
+    with pytest.raises(ValueError, match="point-Jacobi"):
+        ksp.solve(b)

@@ -397,6 +397,10 @@ def gamg_setup_geo(fine_op, shape, params, timings: dict | None = None):
     setup phase for grid-shaped aij inputs; only the fine operator upload
     (timed by the caller) touches the host after assembly.
     """
+    if params.coarse_solve not in ("jacobi", "lu"):
+        raise ValueError(
+            f"unknown coarse_solve {params.coarse_solve!r} (jacobi | lu)"
+        )
     import time as _time
 
     from tpusparse.amg.hierarchy import (

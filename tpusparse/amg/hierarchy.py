@@ -159,6 +159,11 @@ def estimate_rho_dinv_a(
     return jnp.vdot(v, w)  # Rayleigh quotient (v normalized)
 
 
+# dense coarse inverse guard: 4096 unknowns = 128 MB f64 for eye+inverse
+# — generous for any real coarsest level (coarse_eq_limit defaults to 200)
+DENSE_COARSE_CAP = 4096
+
+
 def dense_coarse_inverse(op) -> jax.Array:
     """Materialize a (small) operator densely and invert it —
     the ``-mg_coarse_pc_type lu`` coarse solve.
@@ -173,6 +178,21 @@ def dense_coarse_inverse(op) -> jax.Array:
     rows: the cycle's vectors carry zeros there, so the solve is exact on
     the true unknowns and leaves pads at zero.
     """
+    n_guard = (
+        int(np.prod(op.grid_shape))
+        if getattr(op, "grid_shape", None) is not None else op.shape[0]
+    )
+    if n_guard > DENSE_COARSE_CAP:
+        # the coarsest level is NOT always <= coarse_eq_limit: max_levels
+        # caps and stalled aggregation can leave a large "coarsest" grid,
+        # where jnp.eye(n) + inv would be tens of GB — fail with the
+        # cause instead of OOM-ing the device
+        raise ValueError(
+            f"coarse_solve='lu': coarsest level has {n_guard} unknowns"
+            f" (> {DENSE_COARSE_CAP} dense-inverse cap) — the hierarchy"
+            " stopped early (max_levels / stalled coarsening); use the"
+            " jacobi coarse solve or let coarsening continue"
+        )
     xla_op = (
         dataclasses.replace(op, backend="xla")
         if hasattr(op, "backend") else op

@@ -219,6 +219,10 @@ def gamg_setup_unstructured(
     "auto" (default) uses geometric when the pattern reveals a grid, greedy
     otherwise.
     """
+    if params.coarse_solve not in ("jacobi", "lu"):
+        raise ValueError(
+            f"unknown coarse_solve {params.coarse_solve!r} (jacobi | lu)"
+        )
     import scipy.sparse as sp
 
     from tpusparse.sparse.dia import DIA

@@ -239,8 +239,40 @@ class KSP:
         else:
             self._op_lo = a
         if not self.reuse_preconditioner:
+            # full PC invalidation — including the lazily-built plain twin
+            # mat_solve caches, else a later mat_solve would precondition
+            # the NEW operator with the OLD operator's hierarchy
             self._pc_state = None
             self._m_of = None
+            self._pc_state_plain = None
+            self._op_lo_plain = None
+            self._encode = None
+            self._decode = None
+        elif self._encode is not None and self._pc_state is not None:
+            # KSPSetReusePreconditioner on the PADDED layout: the kept
+            # hierarchy/encode work on padded fields, so the swapped-in
+            # operator's low twin must be padded too (same grid) —
+            # otherwise the reuse contract cannot hold and the PC is
+            # dropped for a rebuild on the next setup()
+            from tpusparse.sparse.padded import PaddedStar
+            from tpusparse.sparse.stencil import StarStencil3D
+
+            old = getattr(self._op_lo_plain, "grid_shape", None)
+            if (
+                isinstance(self._op_lo, StarStencil3D)
+                and self._op_lo.grid_shape == old
+            ):
+                self._op_lo_plain = self._op_lo
+                self._op_lo = PaddedStar.from_star(self._op_lo)
+            else:
+                self._pc_state = None
+                self._m_of = None
+                self._pc_state_plain = None
+                self._encode = None
+                self._decode = None
+        self._jitted = None
+        self._jitted_x0 = None
+        self._jitted_multi = None
         return self
 
     # -- KSPSetUp ----------------------------------------------------------
@@ -252,6 +284,14 @@ class KSP:
             raise RuntimeError("call set_operators before setup/solve")
         if self._pc_state is not None and self.reuse_preconditioner:
             return self
+        # rebuilding: drop every artifact derived from the previous PC —
+        # padded translators, the plain mat_solve twin, compiled programs
+        self._encode = None
+        self._decode = None
+        self._pc_state_plain = None
+        self._op_lo_plain = None
+        self._jitted_x0 = None
+        self._jitted_multi = None
         kind = _op_kind(self._op_lo)
         gamma = 1 if self.mg_cycle == "v" else 2
         mixed = self.precision == "mixed"
@@ -270,6 +310,17 @@ class KSP:
                 op_lo = self._op_lo
                 self._op_lo_plain = op_lo  # pre-padding twin (mat_solve)
                 grid_shape = op_lo.grid_shape
+                if self.layout == "padded" and _plain_cycle_only(
+                    self.amg_params
+                ):
+                    # same contract as the CLI driver: an explicit layout
+                    # request that the fused kernels cannot honor is an
+                    # error, never a silent substitution
+                    raise ValueError(
+                        "layout='padded' is point-Jacobi + jacobi-coarse"
+                        " only; drop bjacobi_bs / smoother='sor' /"
+                        " coarse_solve='lu' or use layout='plain'/'auto'"
+                    )
                 padded = (
                     mixed
                     and not _plain_cycle_only(self.amg_params)
@@ -429,6 +480,11 @@ class KSP:
                         rtol * bnorm_ref, atol))
                 return cg_refined(
                     op_hi.mv, op_lo.mv, b, divtol=divtol,
+                    # maxiter caps both loop depths (PETSc -ksp_max_it:
+                    # a work bound; defaults leave both at their tuned
+                    # values since maxiter defaults to 10000)
+                    max_outer=min(12, maxiter),
+                    inner_maxiter=min(200, maxiter),
                     m_lo_mv=m_of(pc_state), encode=encode, decode=decode,
                     solver=ksp_solve, **kw,
                 )
@@ -553,6 +609,26 @@ class KSP:
         else:
             m_of = lambda ps: None
 
+        # force the pure-XLA apply under vmap: Pallas kernels are single-
+        # field programs that cannot batch by growing a grid dimension on
+        # this toolchain (the dense_coarse_inverse precedent)
+        def _xla(op):
+            return (
+                dataclasses.replace(op, backend="xla")
+                if hasattr(op, "backend") else op
+            )
+
+        op_hi = _xla(self._op)
+        op_lo = _xla(op_lo)
+        if hasattr(pc_state, "levels"):
+            pc_state = dataclasses.replace(
+                pc_state,
+                levels=[
+                    dataclasses.replace(lev, op=_xla(lev.op))
+                    for lev in pc_state.levels
+                ],
+            )
+
         if self._jitted_multi is None:
             from tpusparse.solve.multi import cg_multi, refined_multi
 
@@ -560,7 +636,10 @@ class KSP:
                 def solve_fn(op_hi, op_lo, pc_state, bb):
                     return refined_multi(
                         op_hi.mv, op_lo.mv, bb, rtol=rtol, atol=atol,
-                        divtol=divtol, m_lo_mv=m_of(pc_state),
+                        divtol=divtol,
+                        max_outer=min(12, maxiter),
+                        inner_maxiter=min(200, maxiter),
+                        m_lo_mv=m_of(pc_state),
                     )
             else:
                 def solve_fn(op_hi, op_lo, pc_state, bb):
@@ -569,7 +648,7 @@ class KSP:
                         maxiter=maxiter, m_mv=m_of(pc_state),
                     )
             self._jitted_multi = jax.jit(solve_fn)
-        res = self._jitted_multi(self._op, op_lo, pc_state, b_block)
+        res = self._jitted_multi(op_hi, op_lo, pc_state, b_block)
         if flat_in:
             res = dataclasses.replace(
                 res, x=res.x.reshape((res.x.shape[0], -1))
