@@ -140,3 +140,26 @@ def test_driver_fused_sharded_end_to_end():
     assert abs(rep_f.linf_error - rep_p.linf_error) < 1e-6 + 1e-3 * abs(
         rep_p.linf_error
     )
+
+
+def test_degree1_config_keeps_plain_sharded_cycle():
+    """Review finding: the fused sharded kernels implement the DEGREE-2
+    smoother only — a degree-1 config through the multi-device driver must
+    route to the plain GSPMD cycle (identical results to layout='plain'),
+    not silently apply the degree-2 polynomial."""
+    from tpusparse.bench.driver import solve_poisson
+
+    params = AMGParams(degree=1)
+    rep_f = solve_poisson(
+        12, 12, 24, rtol=1e-7, layout="padded", n_devices=4,
+        amg_params=params,
+    )
+    rep_p = solve_poisson(
+        12, 12, 24, rtol=1e-7, layout="plain", n_devices=4,
+        amg_params=params,
+    )
+    assert rep_f.reason > 0 and rep_p.reason > 0
+    assert rep_f.iters == rep_p.iters       # identical cycle => identical
+    # layout='padded' multi-device uses the z-mesh (different device
+    # layout => different reduction order): tiny roundoff drift only
+    assert abs(rep_f.linf_error - rep_p.linf_error) < 1e-5

@@ -286,7 +286,6 @@ def gamg_setup(
         from tpusparse.solve.bjacobi import BlockJacobi
 
         bs = params.bjacobi_bs
-        bands = op_l.flat_band_fields(bs)
         if bs == fine_gx:
             # x-line mode: line relaxation coarsens WITH the grid — each
             # level smooths its own x-lines (bs = this level's nx), the
@@ -302,6 +301,8 @@ def gamg_setup(
                 o: f for o, f in op_l.flat_band_fields(bs).items()
                 if abs(o) == 1
             }
+        else:
+            bands = op_l.flat_band_fields(bs)
         return BlockJacobi.from_bands(op_l.diagonal_field(), bands, bs)
 
     tm = {"rho": 0.0, "galerkin": 0.0}

@@ -660,15 +660,23 @@ def _setup_and_solve(
         if fused_sh and pc == "gamg":
             from tpusparse.dist.fused_sharded import (
                 FusedSharded,
+                fused_sharded_supported,
                 preflight_sharded,
                 vcycle_fused_sharded,
             )
             from tpusparse.kernels.stencil7 import is_tpu_backend
 
-            fs = FusedSharded.build(
-                op_lo, mesh, interpret=not is_tpu_backend()
+            # the fused kernels implement the DEGREE-2 chebyshev/richardson
+            # smoother only; any other configuration must keep the plain
+            # GSPMD cycle or the applied polynomial would silently differ
+            # from the single-device path (review finding)
+            fs = (
+                FusedSharded.build(
+                    op_lo, mesh, interpret=not is_tpu_backend()
+                )
+                if fused_sharded_supported(pc_state) else None
             )
-            if preflight_sharded(fs):
+            if fs is not None and preflight_sharded(fs):
                 # ride the executor alongside the hierarchy through the
                 # jit boundary (never closed over: diag_st is a big array)
                 pc_state = (pc_state, fs)

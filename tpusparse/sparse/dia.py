@@ -400,6 +400,29 @@ class DFDIA:
         lo_np = (bands64 - hi_np.astype(np.float64)).astype(np.float32)
         if hi_dev is None:
             hi_dev = jax.device_put(hi_np)
+        else:
+            # the alias MUST be float32(bands64): lo was computed against
+            # the host bands, so a stale/mismatched device array would
+            # silently build hi + lo != A (mv of the wrong operator).
+            # Shape/dtype always checked; a sampled value check (first and
+            # last band entries) catches stale data without a full fetch.
+            if (
+                tuple(hi_dev.shape) != tuple(hi_np.shape)
+                or hi_dev.dtype != jnp.float32
+            ):
+                raise ValueError(
+                    f"hi_dev alias mismatch: {hi_dev.shape}/{hi_dev.dtype}"
+                    f" vs float32(bands64) {hi_np.shape}/float32"
+                )
+            if hi_np.size and not (
+                float(hi_dev.reshape(-1)[0]) == float(hi_np.reshape(-1)[0])
+                and float(hi_dev.reshape(-1)[-1])
+                == float(hi_np.reshape(-1)[-1])
+            ):
+                raise ValueError(
+                    "hi_dev alias mismatch: sampled entries differ from"
+                    " float32(bands64) — stale or wrong upload"
+                )
         exact = not np.any(lo_np)
         return cls(
             hi=hi_dev,

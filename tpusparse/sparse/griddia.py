@@ -111,21 +111,27 @@ class GridDIA:
         None when an offset does not decompose or a band has nonzero wrap
         entries (caller keeps the flat DIA)."""
         shape = tuple(int(s) for s in grid_shape)
-        d3s = []
-        for o in dia.offsets:
-            d3 = _decompose(int(o), shape)
-            if d3 is None:
-                return None
-            d3s.append(d3)
         if validate:
-            host = np.asarray(jax.device_get(dia.bands))
-            for k, d3 in enumerate(d3s):
-                if not _wrap_ok(host[k], d3, shape):
+            # the one validation implementation (decompose + wrap-zero
+            # check) lives in host_grid_view — review finding: keep a
+            # single copy of the decomposition rules
+            d3s = host_grid_view(
+                np.asarray(jax.device_get(dia.bands)), dia.offsets, shape
+            )
+            if d3s is None:
+                return None
+        else:
+            d3s = []
+            for o in dia.offsets:
+                d3 = _decompose(int(o), shape)
+                if d3 is None:
                     return None
+                d3s.append(d3)
+            d3s = tuple(d3s)
         return cls(
             bands=dia.bands,
             offsets=tuple(int(o) for o in dia.offsets),
-            d3s=tuple(d3s),
+            d3s=d3s,
             grid_shape=shape,
         )
 
