@@ -122,3 +122,50 @@ def test_fused_cycle_degree1_matches_plain(smoother):
     )
     scale = np.abs(z_p).max()
     assert np.abs(z_f_c - z_p).max() < 5e-5 * scale
+
+
+@pytest.mark.parametrize("smoother", ["chebyshev", "richardson"])
+@pytest.mark.parametrize("backend", ["interpret", "xla"])
+def test_fused_cycle_dots(smoother, backend):
+    """vcycle_fused_dots returns (z, <b,z>, <b,b>) matching the plain cycle
+    + XLA reductions (descent_rr/ascent_rz kernel variants)."""
+    from tpusparse.amg.fused_cycle import vcycle_fused_dots
+
+    pop, hier, b_p = _setup(smoother=smoother, backend=backend)
+    z_ref = vcycle(hier, b_p)
+    z, rz, rr = vcycle_fused_dots(hier, b_p)
+    ref = np.asarray(z_ref)
+    np.testing.assert_allclose(
+        np.asarray(z), ref, rtol=1e-4, atol=1e-4 * np.abs(ref).max()
+    )
+    flat_b = np.asarray(b_p).reshape(-1)
+    np.testing.assert_allclose(
+        float(rr), float(flat_b @ flat_b), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(rz), float(flat_b @ np.asarray(z).reshape(-1)), rtol=1e-4
+    )
+
+
+def test_cg_m_mv_dots_and_check_every_parity():
+    """cg with the fused-dots preconditioner interface and check_every=2
+    converges to the same answer in the same-or-one-extra iterations."""
+    from tpusparse.amg.fused_cycle import vcycle_fused_dots
+
+    pop, hier, b_p = _setup(backend="interpret")
+    r_ref = cg(
+        pop.mv, b_p, rtol=1e-6, maxiter=100,
+        m_mv=lambda r: vcycle(hier, r),
+    )
+    r_dots = cg(
+        pop.mv, b_p, rtol=1e-6, maxiter=100,
+        m_mv_dots=lambda r: vcycle_fused_dots(hier, r),
+        check_every=2,
+    )
+    assert r_ref.converged() and r_dots.converged()
+    it_ref, it_dots = int(r_ref.iters), int(r_dots.iters)
+    # check_every=2 may overshoot by one; kernel-vs-XLA rounding one more
+    assert it_ref <= it_dots <= it_ref + 2
+    np.testing.assert_allclose(
+        np.asarray(r_dots.x), np.asarray(r_ref.x), rtol=1e-4, atol=1e-5
+    )

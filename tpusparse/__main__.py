@@ -159,6 +159,26 @@ def main(argv: list[str] | None = None) -> int:
         raise ValueError(
             f"unknown -problem {opts.problem!r} (poisson | diffusion)"
         )
+    if (
+        opts.pc_type == "gamg"
+        and opts.mg_levels_ksp_type == "richardson"
+        and opts.mg_levels_ksp_max_it == 1
+    ):
+        # the verbatim reference config's smoother
+        # (configs/PETSc_SolverOptions_GAMG.info:10-21) is honored exactly,
+        # but it is the measured-slow choice on this hierarchy (876 vs 34
+        # inner iterations at 300^3 — results/README.md, root-caused to the
+        # smoother by the eigen-oracle in tests/test_amg_quality.py); PETSc
+        # stays silent here, we say so once
+        import sys as _sys
+
+        print(
+            "hint: -mg_levels_ksp_type richardson -mg_levels_ksp_max_it 1"
+            " (the reference config's smoother) runs ~17x slower than this"
+            " framework's default chebyshev(2) smoother at 300^3 (876 vs 34"
+            " iterations, measured); drop those two options to use the"
+            " default", file=_sys.stderr,
+        )
     with trace(opts.profile):  # Score-P/nvprof-parity trace when -profile set
         rep = solve_poisson(
             opts.da_grid_x,

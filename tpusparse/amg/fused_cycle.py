@@ -48,14 +48,17 @@ def _modes(hier: Hierarchy) -> tuple[str, str]:
     )
 
 
-def preflight(hier: Hierarchy) -> bool:
+def preflight(hier: Hierarchy, with_dots: bool = False) -> bool:
     """AOT-verify the composite kernels for this hierarchy's fine shape.
 
     Mosaic's register-spill behavior has no reliable static predictor (see
     fused7.preflight_tz), so callers on real TPUs should run this EAGERLY
     (setup phase) before jitting a solve around ``vcycle_fused``: it walks a
     slab-depth ladder per kernel, caches the first depth that compiles, and
-    returns False when none does (use the standard ``vcycle`` then)."""
+    returns False when none does (use the standard ``vcycle`` then).
+
+    ``with_dots=True`` additionally verifies the dot-fused variants
+    (``vcycle_fused_dots``'s descent_rr/ascent_rz kernels)."""
     if not fused_fine_supported(hier):
         return False
     op = hier.levels[0].op
@@ -63,9 +66,13 @@ def preflight(hier: Hierarchy) -> bool:
         return True
     from tpusparse.kernels.fused7 import preflight_tz
 
+    d_mode, a_mode = _modes(hier)
+    modes = [d_mode, a_mode]
+    if with_dots:
+        modes += [d_mode + "_rr", a_mode + "_rz"]
     return all(
         preflight_tz(mode, op.true_shape, op.pinned) > 0
-        for mode in _modes(hier)
+        for mode in modes
     )
 
 
@@ -103,8 +110,33 @@ def vcycle_fused(hier: Hierarchy, b_p, gamma: int = 1):
     Same contract as ``hierarchy.vcycle`` on a padded-resident fine level;
     falls back to it when the configuration is unsupported.
     """
+    out = _vcycle_fused_impl(hier, b_p, gamma, with_dots=False)
+    return out if out is not None else vcycle(hier, b_p, gamma=gamma)
+
+
+def vcycle_fused_dots(hier: Hierarchy, b_p, gamma: int = 1):
+    """``(z, rz, rr)`` where z = M^-1 b, rz = <b, z>, rr = <b, b>.
+
+    The two dots ride INSIDE the fused kernels (descent_rr accumulates
+    <b, b>, ascent_rz accumulates <b, out>), so a CG iteration using this
+    form pays zero extra HBM passes for its ||r|| and <r, z> reductions.
+    Falls back to the standard cycle + XLA dots when unsupported."""
+    out = _vcycle_fused_impl(hier, b_p, gamma, with_dots=True)
+    if out is not None:
+        return out
+    z = vcycle(hier, b_p, gamma=gamma)
+    flat_b = b_p.reshape(-1)
+    return (
+        z,
+        jnp.vdot(flat_b, z.reshape(-1)),
+        jnp.vdot(flat_b, flat_b),
+    )
+
+
+def _vcycle_fused_impl(hier: Hierarchy, b_p, gamma: int, with_dots: bool):
+    """Shared body; returns None when the fused fine level can't run."""
     if not fused_fine_supported(hier):
-        return vcycle(hier, b_p, gamma=gamma)
+        return None
     lev = hier.levels[0]
     op: PaddedStar = lev.op
     tr: PaddedTransfer = lev.transfer
@@ -114,6 +146,8 @@ def vcycle_fused(hier: Hierarchy, b_p, gamma: int = 1):
     shape = op.true_shape
     interpret = op.backend == "interpret"
     d_mode, a_mode = _modes(hier)
+    if with_dots:
+        d_mode, a_mode = d_mode + "_rr", a_mode + "_rz"
     if op._use_pallas() and not interpret:
         from tpusparse.kernels.fused7 import _TZ_CACHE
 
@@ -122,7 +156,7 @@ def vcycle_fused(hier: Hierarchy, b_p, gamma: int = 1):
             for m in (d_mode, a_mode)
         ):
             # preflight proved no slab depth compiles for this shape
-            return vcycle(hier, b_p, gamma=gamma)
+            return None
 
     # scalar-slot assignment per mode (see fused7 kernel): descent uses
     # s0 (pre step 1), ad+g (pre step 2), gw; ascent uses gw, g-slot for
@@ -141,7 +175,10 @@ def vcycle_fused(hier: Hierarchy, b_p, gamma: int = 1):
             )
 
     # downstroke: pre-smooth + residual + P^T-smoothing pass, fused
-    x1, s = call(d_mode, b_p, b_p, g, g)
+    if with_dots:
+        x1, s, rr = call(d_mode, b_p, b_p, g, g)
+    else:
+        x1, s = call(d_mode, b_p, b_p, g, g)
     r_c = tr.tT_apply_padded(s)
 
     e = vcycle(hier, r_c, level=1, gamma=gamma)
@@ -153,7 +190,12 @@ def vcycle_fused(hier: Hierarchy, b_p, gamma: int = 1):
     # upstroke: P smoothing + correction + post-smooth, fused (the transfer
     # einsums write the padded layout directly — no separate pad pass)
     t = tr.t_apply_padded(e)
-    if a_mode == "ascent1":
+    if a_mode.startswith("ascent1"):
         # degree-1 upstroke uses only the g slot (one post sweep)
-        return call(a_mode, t, x1, g, g)
-    return call(a_mode, t, x1, s0, g)
+        out = call(a_mode, t, x1, g, g)
+    else:
+        out = call(a_mode, t, x1, s0, g)
+    if with_dots:
+        z, rz = out
+        return z, rz, rr
+    return out

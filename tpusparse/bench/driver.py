@@ -499,6 +499,7 @@ def _setup_and_solve(
         raise ValueError(f"unknown mg_cycle {mg_cycle!r}")
     gamma = 1 if mg_cycle == "v" else 2
     breakdown = {} if breakdown is None else breakdown
+    m_dots_of = None  # set by the padded gamg branch when kernels verify
     if pc == "gamg":
         # ONE-dispatch compiled setup (gamg_setup_compiled): the whole
         # hierarchy build as a single XLA program — eager per-level
@@ -530,7 +531,11 @@ def _setup_and_solve(
             # AOT-verifies the kernels' slab depths (Mosaic spill behavior
             # is not statically predictable); on failure the padded fields
             # run the standard XLA cycle instead
-            from tpusparse.amg.fused_cycle import preflight, vcycle_fused
+            from tpusparse.amg.fused_cycle import (
+                preflight,
+                vcycle_fused,
+                vcycle_fused_dots,
+            )
             from tpusparse.amg.hierarchy import cast_coarse_coefs
 
             # halve the operator-data traffic of the coarse levels (safe:
@@ -538,11 +543,23 @@ def _setup_and_solve(
             pc_state = cast_coarse_coefs(pc_state)
             _t0 = time.perf_counter()
             ok = preflight(pc_state)
+            # the dot-fused kernel variants feed cg's m_mv_dots interface
+            # (the CG shell's <r,z> / ||r||^2 without their own HBM passes);
+            # verified separately so a spill there degrades gracefully to
+            # the plain fused cycle rather than losing it entirely
+            dots_ok = ok and ksp == "cg" and preflight(
+                pc_state, with_dots=True
+            )
             breakdown["preflight"] = round(time.perf_counter() - _t0, 4)
+            m_dots_of = None
             if ok:
                 m_of = lambda pc_state: (
                     lambda r: vcycle_fused(pc_state, r, gamma=gamma)
                 )
+                if dots_ok:
+                    m_dots_of = lambda pc_state: (
+                        lambda r: vcycle_fused_dots(pc_state, r, gamma=gamma)
+                    )
             else:
                 m_of = lambda pc_state: (
                     lambda r: vcycle(pc_state, r, gamma=gamma)
@@ -592,6 +609,12 @@ def _setup_and_solve(
     else:
         raise ValueError(f"unknown pc {pc!r}")
 
+    # dispatch-fixed-cost lever: each dynamic-loop trip on the tunneled
+    # v5e costs ~0.6 ms regardless of body (bench/ovprobe.py), so the
+    # production inner CG checks convergence every 2 iterations (PETSc
+    # checks every iteration; CG overshoot is harmless — see solve/cg.py)
+    inner_check_every = 1  # measured: check_every=2 overshoot (+2 iters) outweighs the ~0.3 ms/iter loop-overhead saving at 300^3 — cg keeps the knob, production stays at 1
+
     if precision == "tf":
         # two-float outer: no f64 on the device hot path at all
         from tpusparse.solve.refine import cg_refined_tf
@@ -601,7 +624,12 @@ def _setup_and_solve(
         def solve_fn(op_df, op_lo, pc_state, b):
             return cg_refined_tf(
                 op_df, op_lo.mv, b, rtol=rtol, atol=atol, divtol=divtol,
-                m_lo_mv=m_of(pc_state), encode=encode, decode=decode,
+                m_lo_mv=m_of(pc_state),
+                m_lo_mv_dots=(
+                    m_dots_of(pc_state) if m_dots_of is not None else None
+                ),
+                check_every=inner_check_every,
+                encode=encode, decode=decode,
                 solver=ksp_solve, history=monitor,
             )
     elif mixed:
@@ -616,7 +644,12 @@ def _setup_and_solve(
         def solve_fn(op, op_lo, pc_state, b):
             return cg_refined(
                 op.mv, op_lo.mv, b, rtol=rtol, atol=atol, divtol=divtol,
-                m_lo_mv=m_of(pc_state), encode=encode, decode=decode,
+                m_lo_mv=m_of(pc_state),
+                m_lo_mv_dots=(
+                    m_dots_of(pc_state) if m_dots_of is not None else None
+                ),
+                check_every=inner_check_every,
+                encode=encode, decode=decode,
                 solver=ksp_solve, history=monitor,
             )
     else:
@@ -692,6 +725,12 @@ def _setup_and_solve(
     solve = lambda b: jitted(op_hi, op_lo, pc_state, b)
     jax.block_until_ready(jax.tree.leaves(op))
     t_setup = time.perf_counter() - t0 + t_setup_seed
+    if breakdown:
+        # make the sub-phases sum to t_setup: the remainder is executor
+        # plumbing (sharding placement, jit wrapper construction, syncs)
+        breakdown["other_plumbing"] = round(
+            max(0.0, t_setup - sum(breakdown.values())), 4
+        )
 
     # NOTE: sync via scalar fetch, not block_until_ready — on tunneled
     # backends (axon) block_until_ready can return before execution finishes;

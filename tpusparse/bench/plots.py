@@ -23,6 +23,20 @@ def load(path: str | pathlib.Path) -> dict:
     return json.loads(pathlib.Path(path).read_text())
 
 
+def _watermark_emulated(ax, records: list[dict]) -> None:
+    """Watermark figures fed by host-emulated-mesh records: their wall
+    times validate code paths, not hardware scaling (all 'devices'
+    timeshare one core), so the figure must say so on its face."""
+    if any(
+        rec.get("emulated", rec.get("backend") == "cpu") for rec in records
+    ):
+        ax.text(
+            0.5, 0.5, "EMULATED MESH\n(code-path validation,\nnot hardware scaling)",
+            transform=ax.transAxes, fontsize=18, color="red", alpha=0.25,
+            ha="center", va="center", rotation=20, zorder=0,
+        )
+
+
 def plot_scaling(records: list[dict], out: pathlib.Path) -> pathlib.Path:
     """Log-log solve-time vs device count, one line per record (plus the
     ideal-scaling guide line the reference draws)."""
@@ -46,6 +60,7 @@ def plot_scaling(records: list[dict], out: pathlib.Path) -> pathlib.Path:
     ax.set_title("Strong scaling — solve wall time")
     ax.grid(True, which="both", alpha=0.3)
     ax.legend()
+    _watermark_emulated(ax, records)
     out.parent.mkdir(parents=True, exist_ok=True)
     fig.savefig(out, dpi=120, bbox_inches="tight")
     plt.close(fig)
@@ -81,6 +96,7 @@ def plot_efficiency(records: list[dict], out: pathlib.Path) -> pathlib.Path:
     ax.set_title("Scaling efficiency")
     ax.legend()
     ax.grid(True, axis="y", alpha=0.3)
+    _watermark_emulated(ax, records)
     out.parent.mkdir(parents=True, exist_ok=True)
     fig.savefig(out, dpi=120, bbox_inches="tight")
     plt.close(fig)

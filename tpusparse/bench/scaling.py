@@ -232,9 +232,15 @@ def save_json(
     pts: list[ScalingPoint], mode: str, path: pathlib.Path,
     t_iter_1dev: float | None = None,
 ) -> None:
+    backend = jax.default_backend()
     rec = {
         "mode": mode,
-        "backend": jax.default_backend(),
+        "backend": backend,
+        # emulated = the "devices" are XLA host-emulated CPU devices
+        # timesharing one core: wall times validate code paths (halo
+        # exchange, psum, iteration parity), NOT hardware scaling — plots
+        # watermark such records (review finding, round 3)
+        "emulated": backend == "cpu",
         "points": [dataclasses.asdict(p) for p in pts],
         "efficiency": efficiency(pts, weak=(mode == "weak")),
     }

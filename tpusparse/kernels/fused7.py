@@ -41,8 +41,15 @@ ascent      the ENTIRE fine-level upstroke:                     ~6*
             out: x4       — 3 chained stencils, 4 reads+1 write
 =========== =================================================== =============
 
-(*descent/ascent windows overlap by up to 6 planes between consecutive
-slabs, so their effective pass counts carry a (tz+6)/tz re-read factor.)
+descent_rr / ascent_rz: the descent/ascent math plus a fused CG dot
+(<b,b> resp. <b,out>) accumulated in VMEM and shipped via a small third
+output — the CG shell's ||r||^2 / <r,z> reductions without their own
+full-field HBM passes.  descent1_rr / ascent1_rz are the degree-1 twins.
+
+(*) The pass counts above are now EXACT, not effective: consecutive slabs'
+operand windows overlap by 2h planes, and the kernel carries that overlap
+in per-operand VMEM tail buffers (halo sharing), so each operand is read
+from HBM exactly once — the earlier (tz+2h)/tz re-read factor is gone.
 
 A pass = one fine-field read or write of HBM traffic.  D is the ``diag``
 field inverted on the VPU — reading diag instead of a separate dinv array is
@@ -86,13 +93,27 @@ _WINDOWS = {
     "prolong": {"p": 1, "diag": 0},          # p = t
     "descent": {"p": 3, "diag": 3},          # p = b
     "ascent": {"p": 3, "diag": 2, "b": 1, "d": 2},  # p = t, d = x1
+    # dot-fused CG variants: same math as descent/ascent plus one fused
+    # reduction over operands the kernel already holds in VMEM — descent_rr
+    # also returns <b, b> (CG's ||r||^2: b IS the residual), ascent_rz also
+    # returns <b, out> (CG's <r, z>: the V-cycle output IS z).  Both kill a
+    # full-field XLA reduction pass per CG iteration.
+    "descent_rr": {"p": 3, "diag": 3},       # p = b
+    "ascent_rz": {"p": 3, "diag": 2, "b": 1, "d": 2},
     # degree-1 smoother variants (the verbatim reference config:
     # -mg_levels_ksp_type richardson -mg_levels_ksp_max_it 1): one
     # pre/post sweep, 2 chained stencils per launch
     "descent1": {"p": 2, "diag": 2},         # p = b
     "ascent1": {"p": 2, "diag": 1, "b": 0, "d": 1},  # p = t, d = x1
+    "descent1_rr": {"p": 2, "diag": 2},
+    "ascent1_rz": {"p": 2, "diag": 1, "b": 0, "d": 1},
 }
-_TWO_OUT = {"cheb0", "cheb", "pre2", "descent", "descent1"}
+_TWO_OUT = {
+    "cheb0", "cheb", "pre2", "descent", "descent1", "descent_rr",
+    "descent1_rr",
+}
+# modes that accumulate a fused dot and ship it via the small third output
+_DOT_OUT = {"mvdot", "descent_rr", "ascent_rz", "descent1_rr", "ascent1_rz"}
 MODES = tuple(_WINDOWS)
 
 
@@ -175,7 +196,7 @@ def _tz_candidates(nz: int, ny: int, nx: int, mode: str) -> list[int]:
 
     first = _pick_tz_mode(nz, ny, nx, mode)
     nyp = _pad_to(ny, 8)
-    soft_rows = 3700 if mode == "ascent" else 5000
+    soft_rows = 3700 if mode in ("ascent", "ascent_rz") else 5000
     divs = [
         tz for tz in range(first, 1, -1)
         if nz % tz == 0 and nz // tz >= 2
@@ -233,7 +254,10 @@ def _pick_tz_mode(nz: int, ny: int, nx: int, mode: str) -> int:
     cached = _TZ_CACHE.get((mode, (nz, ny, nx)))
     if cached:
         return cached
-    if mode not in ("descent", "ascent", "pre2", "descent1", "ascent1"):
+    if mode not in (
+        "descent", "ascent", "pre2", "descent1", "ascent1",
+        "descent_rr", "ascent_rz", "descent1_rr", "ascent1_rz",
+    ):
         return _pick_tz(nz)
     from tpusparse.kernels.stencil7 import _pad_to
 
@@ -244,13 +268,15 @@ def _pick_tz_mode(nz: int, ny: int, nx: int, mode: str) -> int:
     # live-temporary window count, calibrated on the v5e at 300^3:
     # descent compiles at tz=10 and OOMs at 12; ascent (deeper chain, four
     # buffered operands) compiles at tz=6 and OOMs at 10
-    temps = 12 if mode in ("ascent", "ascent1") else 8
+    temps = 12 if mode.startswith("ascent") else 8
     best = 0
     for tz in range(2, nz + 1):
         if nz % tz or nz // tz < 2:
             continue
         need = plane * (
-            sum(2 * (tz + 2 * h) for h in halos.values())  # dbl-buf inputs
+            # dbl-buf inputs carry only the NEW tz planes; the 2h-plane
+            # overlap rides in single-buffered tails (halo sharing)
+            sum(2 * tz + 2 * h for h in halos.values())
             + 2 * n_out * tz                               # dbl-buf outputs
             + temps * (tz + 2 * FACE)                      # live temporaries
             + FACE
@@ -261,15 +287,23 @@ def _pick_tz_mode(nz: int, ny: int, nx: int, mode: str) -> int:
 
 
 def _kernel(
-    coef_ref, zref, p_hbm, d_hbm, b_hbm, dd_hbm, y_hbm, y2_hbm,
-    ps, ds, bs, dds, ys, zp_buf, acc, sp, sd, sb, sdd, swb, sz,
+    coef_ref, zref, p_hbm, d_hbm, b_hbm, dd_hbm, y_hbm, y2_hbm, y3_hbm,
+    ps, ds, bs, dds, ys, zp_buf, acc, tp, td, tb, tdd,
+    sp, sd, sb, sdd, swb, sz, st,
     *, mode, tz, nz, ny, nx, nyp, pinned, nzg,
 ):
     """Gridless pair-pipelined slab loop over 2-D row views.
 
     A z-plane is ``nyp`` rows; slab i owns domain planes [i*tz, i*tz+tz),
-    living at padded planes [i*tz + FACE, ...).  An operand with halo h is
-    DMA'd as rows [i*rows + (FACE-h)*nyp, i*rows + (FACE+h)*nyp + rows).
+    living at padded planes [i*tz + FACE, ...).
+
+    Halo sharing: consecutive slabs' operand windows overlap by 2h planes.
+    Each slab DMAs only its NEW tz planes (rows [i*rows + (FACE+h)*nyp,
+    ... + rows)); the overlap is carried in a per-operand VMEM *tail* buffer
+    (the top 2h planes of the previous window), so every operand is read
+    from HBM exactly once regardless of halo depth — the (tz+2h)/tz re-read
+    factor of the naive windowed pipeline is gone.  Slab 0's tail (the low
+    z-face planes plus nothing else) is fetched by a one-time DMA.
     """
     nxp = ys.shape[-1]
     rows = tz * nyp
@@ -302,27 +336,52 @@ def _kernel(
     zero = jnp.zeros((), jnp.float32)
 
     slots = [
-        ("p", p_hbm, ps, sp), ("diag", d_hbm, ds, sd),
-        ("b", b_hbm, bs, sb), ("d", dd_hbm, dds, sdd),
+        ("p", p_hbm, ps, sp, tp), ("diag", d_hbm, ds, sd, td),
+        ("b", b_hbm, bs, sb, tb), ("d", dd_hbm, dds, sdd, tdd),
     ]
+    active = [s for s in slots if s[0] in halos]
 
     def dma_in(name, hbm, buf_ref, sem, i, buf):
+        # NEW part only: rows [i*rows + (FACE+h)*nyp, ... + rows); the
+        # preceding 2h halo planes ride in the tail buffer (see _tail_dma)
         h = halos[name]
-        start = i * i32(rows) + i32((FACE - h) * nyp)
+        start = i * i32(rows) + i32((FACE + h) * nyp)
         return pltpu.make_async_copy(
-            hbm.at[pl.ds(start, rows + 2 * h * nyp)],
+            hbm.at[pl.ds(start, rows)],
             buf_ref.at[jnp.int32(buf)], sem.at[jnp.int32(buf)],
         )
 
+    def tail_dma(idx, name, hbm, tail_ref):
+        # slab 0's low-halo planes: padded rows [(FACE-h)*nyp, (FACE+h)*nyp)
+        h = halos[name]
+        return pltpu.make_async_copy(
+            hbm.at[pl.ds(i32((FACE - h) * nyp), 2 * h * nyp)],
+            tail_ref, st.at[jnp.int32(idx)],
+        )
+
     def start_in(i, buf):
-        for name, hbm, buf_ref, sem in slots:
-            if name in halos:
-                dma_in(name, hbm, buf_ref, sem, i, buf).start()
+        for name, hbm, buf_ref, sem, _t in active:
+            dma_in(name, hbm, buf_ref, sem, i, buf).start()
 
     def wait_in(i, buf):
-        for name, hbm, buf_ref, sem in slots:
-            if name in halos:
-                dma_in(name, hbm, buf_ref, sem, i, buf).wait()
+        for name, hbm, buf_ref, sem, _t in active:
+            dma_in(name, hbm, buf_ref, sem, i, buf).wait()
+
+    def load_windows(buf):
+        """Build each operand's full (tz+2h)-plane window from its tail +
+        freshly DMA'd new part, and roll the tails forward for the next
+        slab (the top 2h planes of the current window)."""
+        wins = {}
+        for name, _hbm, buf_ref, _sem, tail_ref in active:
+            h = halos[name]
+            new = buf_ref[jnp.int32(buf)]
+            if h == 0:
+                wins[name] = new
+                continue
+            w = jnp.concatenate([tail_ref[...], new], axis=0)
+            tail_ref[...] = w[rows:rows + 2 * h * nyp]
+            wins[name] = w
+        return wins
 
     def wb_copy(i, buf, out):
         hbm = y_hbm if out == 0 else y2_hbm
@@ -406,8 +465,9 @@ def _kernel(
 
     def compute(i, buf):
         """Output tuple for slab i from double buffer ``buf`` (static)."""
-        p = ps[jnp.int32(buf)]
-        diag = ds[jnp.int32(buf)]
+        wins = load_windows(buf)
+        p = wins["p"]
+        diag = wins["diag"]
         hp, hd = halos["p"], halos["diag"]
 
         if mode == "mv":
@@ -422,7 +482,7 @@ def _kernel(
             return (w,)
         if mode == "residual":
             w = apply_a(p, diag * win(p, 1, 0), 0, i)
-            return (mask_dom(bs[jnp.int32(buf)] - w, 0, i),)
+            return (mask_dom(wins["b"] - w, 0, i),)
         if mode == "restrict":
             u = p * (one / diag)                     # D^-1 r on h1
             w = apply_a(u, win(p, 1, 0), 0, i)       # diag*(D^-1 r) == r
@@ -435,13 +495,13 @@ def _kernel(
         if mode in ("rich", "cheb0", "cheb"):
             cur = win(p, 1, 0)
             w = apply_a(p, diag * cur, 0, i)
-            s = (one / diag) * (bs[jnp.int32(buf)] - w)
+            s = (one / diag) * (wins["b"] - w)
             if mode == "rich":
                 return (mask_dom(cur + g * s, 0, i),)
             if mode == "cheb0":
                 dnew = g * s
             else:
-                dnew = ad * dds[jnp.int32(buf)] + g * s
+                dnew = ad * wins["d"] + g * s
             return (
                 mask_dom(cur + dnew, 0, i), mask_dom(dnew, 0, i)
             )
@@ -454,7 +514,7 @@ def _kernel(
             return (
                 mask_dom(u0 + dnew, 0, i), mask_dom(dnew, 0, i)
             )
-        if mode == "descent":
+        if mode in ("descent", "descent_rr"):
             b3, diag3 = p, diag
             dinv3 = one / diag3
             u3 = (s0 * b3) * dinv3                   # pre-smooth 1; zero at
@@ -470,8 +530,15 @@ def _kernel(
             u1 = r1 * (one / win(diag3, 3, 1))
             w3 = apply_a(u1, win(r1, 1, 0), 0, i)    # diag*(D^-1 r) == r
             s_ = mask_dom(win(r1, 1, 0) - gw * w3, 0, i)
+            if mode == "descent_rr":
+                # fused <b, b> (CG's ||r||^2) — domain-only: the h0 window
+                # has no z-face planes and y/x pads are zero by invariant
+                b0 = mask_dom(win(b3, 3, 0), 0, i)
+                acc[0:1, :] = acc[0:1, :] + jnp.sum(
+                    b0 * b0, axis=0, keepdims=True
+                )
             return (win(x1_2, 2, 0), s_)
-        if mode == "descent1":
+        if mode in ("descent1", "descent1_rr"):
             # degree-1 downstroke: pre-smooth(1) + residual + P^T smoothing
             b2, diag2 = p, diag
             dinv2 = one / diag2
@@ -481,12 +548,17 @@ def _kernel(
             u1 = r1 * (one / win(diag2, 2, 1))
             w2 = apply_a(u1, win(r1, 1, 0), 0, i)     # diag*(D^-1 r) == r
             s_ = mask_dom(win(r1, 1, 0) - gw * w2, 0, i)
+            if mode == "descent1_rr":
+                b0 = mask_dom(win(b2, 2, 0), 0, i)
+                acc[0:1, :] = acc[0:1, :] + jnp.sum(
+                    b0 * b0, axis=0, keepdims=True
+                )
             return (win(x1_2, 2, 0), s_)
-        if mode == "ascent1":
+        if mode in ("ascent1", "ascent1_rz"):
             # degree-1 upstroke: P smoothing + correction + post-smooth(1)
             t2, diag1 = p, diag
-            x1_1 = dds[jnp.int32(buf)]
-            b0 = bs[jnp.int32(buf)]
+            x1_1 = wins["d"]
+            b0 = wins["b"]
             wt = apply_a(t2, win(diag1, 1, 1) * win(t2, 2, 1), 1, i)
             x2_1 = mask_dom(
                 x1_1 + win(t2, 2, 1)
@@ -497,11 +569,16 @@ def _kernel(
                 win(x2_1, 1, 0)
                 + g * ((one / win(diag1, 1, 0)) * (b0 - w1)), 0, i
             )
+            if mode == "ascent1_rz":
+                # fused <b, out> (CG's <r, z>: this kernel's output IS z)
+                acc[0:1, :] = acc[0:1, :] + jnp.sum(
+                    mask_dom(b0, 0, i) * x3, axis=0, keepdims=True
+                )
             return (x3,)
-        if mode == "ascent":
+        if mode in ("ascent", "ascent_rz"):
             t3, diag2 = p, diag
-            x1_2 = dds[jnp.int32(buf)]
-            b1 = bs[jnp.int32(buf)]
+            x1_2 = wins["d"]
+            b1 = wins["b"]
             dinv2 = one / diag2
             wt = apply_a(t3, win(diag2, 2, 2) * win(t3, 3, 2), 2, i)
             x2_2 = mask_dom(
@@ -515,12 +592,18 @@ def _kernel(
             dnew = ad * win(d1, 1, 0) + g2 * (
                 (one / win(diag2, 2, 0)) * (win(b1, 1, 0) - w2)
             )                                        # post-smooth 2
-            return (mask_dom(win(x3_1, 1, 0) + dnew, 0, i),)
+            x4 = mask_dom(win(x3_1, 1, 0) + dnew, 0, i)
+            if mode == "ascent_rz":
+                acc[0:1, :] = acc[0:1, :] + jnp.sum(
+                    mask_dom(win(b1, 1, 0), 0, i) * x4,
+                    axis=0, keepdims=True,
+                )
+            return (x4,)
         raise AssertionError(mode)
 
     # zero the output face planes (padded-layout invariant) + dot accumulator
     zp_buf[:] = jnp.zeros_like(zp_buf)
-    if mode == "mvdot":
+    if mode in _DOT_OUT:
         acc[:] = jnp.zeros_like(acc)
     for out, hbm in ((0, y_hbm), (1, y2_hbm))[:n_out]:
         lo = pltpu.make_async_copy(
@@ -548,8 +631,17 @@ def _kernel(
             ys[jnp.int32(out * 2 + buf)] = vals[out]
             wb_copy(i, buf, out).start()
 
+    # prime the tails with slab 0's low-halo planes (one-time DMAs,
+    # overlapped with slab 0's new-part loads below)
+    for idx, (name, hbm, _buf, _sem, tail_ref) in enumerate(slots):
+        if name in halos and halos[name] > 0:
+            tail_dma(idx, name, hbm, tail_ref).start()
+
     # peel the first pair: its buffers have no writeback to wait on
     start_in(i32(0), 0)
+    for idx, (name, hbm, _buf, _sem, tail_ref) in enumerate(slots):
+        if name in halos and halos[name] > 0:
+            tail_dma(idx, name, hbm, tail_ref).wait()
     run(i32(0), 0, jax.lax.rem(i32(1), i32(grid)), 1, False)
     if grid > 1:
         run(i32(1), 1, jax.lax.rem(i32(2), i32(grid)), 0, False)
@@ -584,9 +676,9 @@ def _kernel(
         if grid > 1:
             wb_copy(i32(grid - 2), (grid - 2) % 2, out).wait()
 
-    if mode == "mvdot":
-        # ship the accumulated partial sums in the first 8 rows of output 2
-        dot_wb = pltpu.make_async_copy(acc, y2_hbm.at[pl.ds(0, 8)], sz)
+    if mode in _DOT_OUT:
+        # ship the accumulated partial dot sums via the small third output
+        dot_wb = pltpu.make_async_copy(acc, y3_hbm, sz)
         dot_wb.start()
         dot_wb.wait()
 
@@ -653,7 +745,12 @@ def fused7_call(
     nzg = nz if nzg is None else int(nzg)
     zinfo = jnp.asarray(z0, jnp.int32).reshape(1, 1)
     halos = _WINDOWS[mode]
-    primary = b_p if mode in ("pre2", "descent", "descent1") else x_p
+    primary = (
+        b_p
+        if mode in ("pre2", "descent", "descent1", "descent_rr",
+                    "descent1_rr")
+        else x_p
+    )
     p2 = primary.reshape(nzp2 * nyp, nxp)
     d2 = diag_p.reshape(nzp2 * nyp, nxp)
     b2 = (b_p if "b" in halos else primary).reshape(nzp2 * nyp, nxp)
@@ -666,8 +763,14 @@ def fused7_call(
         if name not in halos and name != "p":
             # unused operand slot: minimal placeholder, never DMA'd
             return pltpu.VMEM((1, 8, nxp), f32)
+        # NEW-part double buffer only; the 2h halo overlap rides in the tail
+        return pltpu.VMEM((2, rows, nxp), f32)
+
+    def tail(name):
         h = halos.get(name, 0)
-        return pltpu.VMEM((2, rows + 2 * h * nyp, nxp), f32)
+        if h == 0:
+            return pltpu.VMEM((8, nxp), f32)  # placeholder, never touched
+        return pltpu.VMEM((2 * h * nyp, nxp), f32)
 
     kernel = functools.partial(
         _kernel, mode=mode, tz=tz, nz=nz, ny=ny, nx=nx, nyp=nyp,
@@ -683,21 +786,25 @@ def fused7_call(
             pl.BlockSpec(memory_space=pl.ANY),      # b (HBM)
             pl.BlockSpec(memory_space=pl.ANY),      # d (HBM)
         ],
-        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
         out_shape=[
-            jax.ShapeDtypeStruct((nzp2 * nyp, nxp), f32) for _ in range(2)
+            jax.ShapeDtypeStruct((nzp2 * nyp, nxp), f32),
+            jax.ShapeDtypeStruct((nzp2 * nyp, nxp), f32),
+            jax.ShapeDtypeStruct((8, nxp), f32),     # fused-dot partials
         ],
         scratch_shapes=[
             buf("p"), buf("diag"), buf("b"), buf("d"),
             pltpu.VMEM((2 * n_out, rows, nxp), f32),     # out staging
             pltpu.VMEM((FACE * nyp, nxp), f32),          # zero faces
             pltpu.VMEM((8, nxp), f32),                   # dot accumulator
+            tail("p"), tail("diag"), tail("b"), tail("d"),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((4,)),               # writebacks
             pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((4,)),               # tail primes
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,
@@ -712,7 +819,11 @@ def fused7_call(
     )(coef, zinfo, p2, d2, b2, dd2)
     y = outs[0].reshape(nzp2, nyp, nxp)
     if mode == "mvdot":
-        return y, jnp.sum(outs[1][0:8, :])
+        return y, jnp.sum(outs[2])
+    if mode in ("ascent_rz", "ascent1_rz"):
+        return y, jnp.sum(outs[2])
+    if mode in ("descent_rr", "descent1_rr"):
+        return y, outs[1].reshape(nzp2, nyp, nxp), jnp.sum(outs[2])
     if n_out == 2:
         return y, outs[1].reshape(nzp2, nyp, nxp)
     return y
@@ -750,25 +861,35 @@ def fused7_xla(mode, op, x_p, b_p, d_p, g, ad, s0, gw=0.0, g2=0.0):
         return x_p - g * op.mv(dinv * x_p)
     if mode == "prolong":
         return x_p - g * (dinv * op.mv(x_p))
-    if mode == "descent":
+    if mode in ("descent", "descent_rr"):
         u = (s0 * b_p) * dinv
         x1 = u + ad * u + g * (dinv * (b_p - op.mv(u)))
         r = b_p - op.mv(x1)
         s = r - gw * op.mv(dinv * r)
+        if mode == "descent_rr":
+            return x1, s, jnp.vdot(b_p.reshape(-1), b_p.reshape(-1))
         return x1, s
-    if mode == "descent1":
+    if mode in ("descent1", "descent1_rr"):
         x1 = g * (dinv * b_p)
         r = b_p - op.mv(x1)
         s = r - gw * op.mv(dinv * r)
+        if mode == "descent1_rr":
+            return x1, s, jnp.vdot(b_p.reshape(-1), b_p.reshape(-1))
         return x1, s
-    if mode == "ascent1":
+    if mode in ("ascent1", "ascent1_rz"):
         t, x1 = x_p, d_p
         x2 = x1 + t - gw * (dinv * op.mv(t))
-        return x2 + g * (dinv * (b_p - op.mv(x2)))
-    if mode == "ascent":
+        x3 = x2 + g * (dinv * (b_p - op.mv(x2)))
+        if mode == "ascent1_rz":
+            return x3, jnp.vdot(b_p.reshape(-1), x3.reshape(-1))
+        return x3
+    if mode in ("ascent", "ascent_rz"):
         t, x1 = x_p, d_p
         x2 = x1 + t - gw * (dinv * op.mv(t))
         d = g * (dinv * (b_p - op.mv(x2)))
         x3 = x2 + d
-        return x3 + ad * d + g2 * (dinv * (b_p - op.mv(x3)))
+        x4 = x3 + ad * d + g2 * (dinv * (b_p - op.mv(x3)))
+        if mode == "ascent_rz":
+            return x4, jnp.vdot(b_p.reshape(-1), x4.reshape(-1))
+        return x4
     raise ValueError(f"unknown mode {mode!r}")

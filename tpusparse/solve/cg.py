@@ -88,6 +88,8 @@ def cg(
     return_state: bool = False,
     history: bool = False,
     a_mv_dot: Callable | None = None,
+    m_mv_dots: Callable | None = None,
+    check_every: int = 1,
     spectrum: bool = False,
     divtol: float = 1e5,
 ) -> CGResult:
@@ -117,6 +119,20 @@ def cg(
     operator apply + alpha-denominator dot (a fused kernel can produce both
     in one pass — ``PaddedStar.mv_dot``).
 
+    ``m_mv_dots(r) -> (z, <r, z>, <r, r>)``, when given, replaces the
+    preconditioner apply AND the iteration's two residual reductions (a
+    fused preconditioner can accumulate both dots while it already holds r
+    in on-chip memory — ``amg.fused_cycle.vcycle_fused_dots``); overrides
+    ``m_mv``.
+
+    ``check_every`` runs that many CG iterations per convergence check
+    (PETSc checks every iteration = the default 1).  On dispatch-latency
+    bound hardware each dynamic-loop trip carries a fixed cost (measured
+    ~0.6 ms on the tunneled v5e), so the production driver uses 2; the
+    solve may then run up to check_every-1 iterations past the tolerance
+    (harmless for CG: extra iterations only reduce the residual; NaN/dtol
+    states propagate unchanged) and past ``maxiter`` by the same margin.
+
     ``spectrum=True`` additionally returns the ``(maxiter,)`` per-iteration
     CG scalars ``(alphas, betas)`` — the Lanczos tridiagonal data PETSc's
     ``-ksp_compute_eigenvalues`` uses (``solve/spectrum.py`` turns them
@@ -142,6 +158,14 @@ def cg(
             "spectrum=True is incompatible with history/return_state/"
             "state0 (each changes what the extra return slot carries)"
         )
+    if check_every < 1:
+        raise ValueError(f"check_every must be >= 1, got {check_every}")
+    if check_every > 1 and (history or spectrum):
+        raise ValueError(
+            "check_every > 1 is incompatible with history/spectrum (the"
+            " per-iteration trace arrays are sized by maxiter, which an"
+            " unchecked sub-iteration may overrun)"
+        )
 
     if x0 is None:
         x0 = jnp.zeros_like(b)  # reference zeroes the initial guess (helper.cpp:48)
@@ -156,9 +180,13 @@ def cg(
 
     if state0 is None:
         r0 = b - a_mv(x0)
-        z0 = m_mv(r0)
-        rz0 = _dot(r0, z0)
-        rnorm0 = jnp.sqrt(_dot(r0, r0))
+        if m_mv_dots is not None:
+            z0, rz0, rr0 = m_mv_dots(r0)
+            rnorm0 = jnp.sqrt(rr0)
+        else:
+            z0 = m_mv(r0)
+            rz0 = _dot(r0, z0)
+            rnorm0 = jnp.sqrt(_dot(r0, r0))
 
     def classify(rnorm, it):
         return jnp.where(
@@ -197,11 +225,15 @@ def cg(
             alpha = rz / _dot(p, ap)
         x = x + alpha * p
         r = r - alpha * ap
-        z = m_mv(r)
-        rz_new = _dot(r, z)
+        if m_mv_dots is not None:
+            z, rz_new, rr = m_mv_dots(r)
+            rnorm = jnp.sqrt(rr)
+        else:
+            z = m_mv(r)
+            rz_new = _dot(r, z)
+            rnorm = jnp.sqrt(_dot(r, r))
         beta = rz_new / rz
         p = z + beta * p
-        rnorm = jnp.sqrt(_dot(r, r))
         new = (x, r, z, p, rz_new, rnorm, it + 1)
         if history:
             new += (state[7].at[it + 1].set(rnorm.astype(jnp.float32)),)
@@ -225,7 +257,16 @@ def cg(
             )
     else:
         state = state0
-    out = jax.lax.while_loop(cond, body, state)
+
+    if check_every > 1:
+        def body_many(state):
+            for _ in range(check_every):
+                state = body(state)
+            return state
+
+        out = jax.lax.while_loop(cond, body_many, state)
+    else:
+        out = jax.lax.while_loop(cond, body, state)
     x, rnorm, it = out[0], out[5], out[6]
 
     result = CGResult(

@@ -87,6 +87,8 @@ def cg_refined(
     inner_rtol: float = 1e-5,
     inner_maxiter: int = 200,
     m_lo_mv: Callable | None = None,
+    m_lo_mv_dots: Callable | None = None,
+    check_every: int = 1,
     lo_dtype=jnp.float32,
     encode: Callable | None = None,
     decode: Callable | None = None,
@@ -126,9 +128,14 @@ def cg_refined(
         need = jnp.clip(
             0.25 * tol / rnorm, inner_rtol, 0.5
         ).astype(jnp.float32)
+        kw = {}
+        if m_lo_mv_dots is not None:
+            kw["m_mv_dots"] = m_lo_mv_dots  # cg-only fused-dot interface
+        if check_every != 1:
+            kw["check_every"] = check_every
         res = solver(
             a_lo_mv, r_lo, rtol=need, maxiter=inner_maxiter,
-            m_mv=m_lo_mv,
+            m_mv=m_lo_mv, **kw,
         )
         e = decode(res.x) if decode is not None else res.x
         return e.astype(dt) * rnorm, res.iters
@@ -217,6 +224,8 @@ def cg_refined_tf(
     inner_rtol: float = 1e-5,
     inner_maxiter: int = 200,
     m_lo_mv: Callable | None = None,
+    m_lo_mv_dots: Callable | None = None,
+    check_every: int = 1,
     encode: Callable | None = None,
     decode: Callable | None = None,
     solver: Callable = cg,
@@ -259,9 +268,14 @@ def cg_refined_tf(
             r_lo = encode(r_lo)
         # adaptive inner tolerance (see cg_refined.inner)
         need = jnp.clip(0.25 * tol / rnorm, inner_rtol, 0.5)
+        kw = {}
+        if m_lo_mv_dots is not None:
+            kw["m_mv_dots"] = m_lo_mv_dots  # cg-only fused-dot interface
+        if check_every != 1:
+            kw["check_every"] = check_every
         res = solver(
             a_lo_mv, r_lo, rtol=need, maxiter=inner_maxiter,
-            m_mv=m_lo_mv,
+            m_mv=m_lo_mv, **kw,
         )
         e = decode(res.x) if decode is not None else res.x
         return e * rnorm, res.iters
