@@ -1,0 +1,381 @@
+"""Fully device-resident GAMG setup for ARBITRARY banded (DIA) matrices.
+
+The reference runs its AMG setup (aggregation, prolongator, Galerkin
+MatPtAP) inside ``KSPSetUp`` (``/root/reference/src/main_ksp.cpp:97``) —
+single-process host code inside PETSc.  The repo's greedy/Vanek path
+reproduces that capability but walks the graph on the HOST (scipy / the
+C++ engine): minutes at 300^3-scale inputs, and its FactoredTransfer
+gathers at fine-level size inside the solver loop — which the deployed
+libtpu crashes on above ~2M rows.  This module is the TPU-native answer
+for matrices that defeat ``infer_grid3d`` (periodic wrap bands, high-order
+1-D stencils, irregular offset sets): EVERY setup stage runs on device as
+static-shape XLA programs, and the resulting cycle is gather/scatter-free.
+
+Design (all offsets static Python ints — they shape the programs):
+
+* **Aggregation = contiguous index segments of size s.**  For banded
+  matrices, index-adjacent rows are graph-adjacent (bounded offsets =
+  index locality), so segments are connected aggregates.  Transfers
+  become ``reshape``/``repeat`` — no gathers ANYWHERE in the V-cycle, so
+  the cycle runs at any size on the deployed libtpu.  This is the 1-D
+  analogue of the structured path's geometric block aggregation.
+
+* **Smoothed prolongator in segment-banded form.**  P = (I - w D^-1 A) T
+  is stored as ``pb[d, i] = P[i, i//s + d]`` over a small static set of
+  COARSE displacements d (|D_P| <= 2K+1).  Computing A_c = P^T (A P)
+  in this representation keeps every intermediate O(K) bands wide —
+  the naive (I-wAD^-1)A(I-wD^-1A) fine-grid triple product explodes to
+  O(K^3) bands for generic offsets (37 GB of band storage at 300^3).
+
+* **Galerkin contraction by residue classes.**  (i+o)//s - i//s depends
+  only on (i mod s, o), so every band product splits into <= 2 static
+  residue-masked terms; coarse rows come out of ``reshape(n_c, s).sum``.
+  No scatter, no segment_sum, no dynamic shapes.
+
+GAMG parity notes: ``-pc_gamg_agg_nsmooths`` 0/1 honored; omega =
+omega_scale / rho(D^-1 A) per level (same rule as the other paths);
+``-pc_gamg_threshold`` does NOT apply (aggregation is index-structured,
+not strength-adaptive) — callers needing strength-adaptive aggregates on
+host-sized problems keep the greedy path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time as _time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpusparse.sparse.dia import DIA, _shift
+
+
+# --------------------------------------------------------------------------
+# static offset algebra (Python ints — compile-time)
+# --------------------------------------------------------------------------
+
+def _deltas(o: int, s: int) -> tuple[int, ...]:
+    """Distinct coarse displacements (m+o)//s over residues m in [0, s)."""
+    return tuple(sorted({(m + o) // s for m in range(s)}))
+
+
+def _residue_mask(n: int, s: int, o: int, d: int, dtype=jnp.float32):
+    """mask[i] = 1.0 where (i%s + o)//s == d (static pattern)."""
+    m = jnp.arange(n, dtype=jnp.int32) % s
+    return ((m + o) // s == d).astype(dtype)
+
+
+def _segsum(v: jax.Array, s: int, n_c: int) -> jax.Array:
+    """sum of v over contiguous segments of size s (v zero-padded)."""
+    pad = n_c * s - v.shape[0]
+    if pad:
+        v = jnp.pad(v, (0, pad))
+    return v.reshape(n_c, s).sum(axis=1)
+
+
+def _upsample(e: jax.Array, s: int, n: int) -> jax.Array:
+    """e[i//s] for i in [0, n) — broadcast, no gather."""
+    return jnp.broadcast_to(e[:, None], (e.shape[0], s)).reshape(-1)[:n]
+
+
+# --------------------------------------------------------------------------
+# explicit segment-banded prolongator + Galerkin product (setup only)
+# --------------------------------------------------------------------------
+
+def _prolongator_bands(
+    bands, offsets: tuple[int, ...], dinv, omega, s: int, n: int, w: float,
+    nsmooths: int,
+):
+    """P = (I - omega D^-1 A) T as {d: (n,) array} with
+    pb[d][i] = P[i, i//s + d].  T[i, J] = w * [i//s == J]."""
+    pb = {0: jnp.full((n,), w, bands.dtype)}
+    if nsmooths == 0:
+        return pb
+    # (A T)[i, i//s + d] = w * sum_o a_o[i] * [(i%s + o)//s == d]
+    for k, o in enumerate(offsets):
+        for d in _deltas(o, s):
+            term = bands[k] * (_residue_mask(n, s, o, d, bands.dtype) * w)
+            pb[d] = pb.get(d, 0.0) - omega * dinv * term
+    return pb
+
+
+def _ap_bands(bands, offsets, pb: dict, s: int, n: int):
+    """Q = A P in the same representation: qb[d'][i] = Q[i, i//s + d'].
+
+    Q[i, J] = sum_o a_o[i] * P[i+o, J]; with J = i//s + d' and
+    P[i+o, (i+o)//s + d] stored, d' = d + ((i%s + o)//s)."""
+    qb: dict = {}
+    for k, o in enumerate(offsets):
+        a_o = bands[k]
+        for d, pvec in pb.items():
+            pshift = _shift(pvec, o, n)  # P[i+o, (i+o)//s + d]
+            for dd in _deltas(o, s):
+                dprime = d + dd
+                term = a_o * pshift * _residue_mask(n, s, o, dd, a_o.dtype)
+                qb[dprime] = qb.get(dprime, 0.0) + term
+    return qb
+
+
+def _ptq_bands(pb: dict, qb: dict, s: int, n: int, n_c: int):
+    """A_c = P^T Q as coarse DIA bands {e: (n_c,)}.
+
+    A_c[J', J'+e] = sum_i P[i, J'] Q[i, J'+e]; i with i//s + d = J'
+    contributes pb[d][i] * qb[d+e][i] to coarse row i//s + d."""
+    ac: dict = {}
+    for dp, pvec in pb.items():
+        for dq, qvec in qb.items():
+            e = dq - dp
+            seg = _segsum(pvec * qvec, s, n_c)
+            # value from fine segment g lands at coarse row g + dp
+            ac[e] = ac.get(e, 0.0) + _shift(seg, -dp, n_c)
+    return ac
+
+
+def coarse_offsets(
+    offsets: tuple[int, ...], s: int, nsmooths: int
+) -> tuple[int, ...]:
+    """Static mirror of _coarsen_once's band keys: the coarse offsets the
+    Galerkin product occupies, derivable from (offsets, s) alone.  Kept
+    separate so the jitted numeric build never has to return Python ints
+    (jit would silently convert them into traced arrays)."""
+    dp = {0}
+    if nsmooths:
+        dp |= {d for o in offsets for d in _deltas(o, s)}
+    dq = {
+        d + dd for o in offsets for d in dp for dd in _deltas(o, s)
+    }
+    return tuple(sorted({q - p for p in dp for q in dq}))
+
+
+def _coarsen_once(
+    bands, offsets: tuple[int, ...], dinv, omega, *,
+    s: int, n: int, nsmooths: int,
+):
+    """One Galerkin level: (coarse bands (K_c, n_c), coarse offsets)."""
+    n_c = -(-n // s)
+    # python float (WEAK type): an np.float64 scalar here silently
+    # promotes every band to f64 under jax_enable_x64
+    w = float(1.0 / np.sqrt(s))
+    pb = _prolongator_bands(
+        bands, offsets, dinv, omega, s, n, w, nsmooths
+    )
+    qb = _ap_bands(bands, offsets, pb, s, n)
+    ac = _ptq_bands(pb, qb, s, n, n_c)
+    coffs = tuple(sorted(ac))
+    assert coffs == coarse_offsets(offsets, s, nsmooths), (
+        coffs, coarse_offsets(offsets, s, nsmooths)
+    )
+    cb = jnp.stack([ac[e] for e in coffs])
+    # zero out-of-frame rows (DIA convention) so downstream shifts stay
+    # exact; mask is static per offset
+    row = jnp.arange(n_c, dtype=jnp.int32)
+    frame = jnp.stack(
+        [((row + e) >= 0) & ((row + e) < n_c) for e in coffs]
+    )
+    return cb * frame.astype(cb.dtype), coffs
+
+
+# --------------------------------------------------------------------------
+# cycle-time transfer: pure reshape/broadcast (gather/scatter-free)
+# --------------------------------------------------------------------------
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["w", "omega"],
+    meta_fields=["s", "n_fine", "n_coarse"],
+)
+@dataclasses.dataclass
+class SegTransfer:
+    """Smoothed-aggregation transfer over contiguous index segments.
+
+    Factored form (same structure as GeoTransfer/StructuredTransfer —
+    smoothing reuses the level operator's own mv, so a Pallas-lifted fine
+    op accelerates the transfers too):
+        restrict(v) = T0^T (v - omega A D^-1 v)
+        prolong(e)  = t - omega D^-1 A t,   t = T0 e
+    with T0 the w-scaled piecewise-constant injection over segments.
+    """
+
+    w: jax.Array            # scalar 1/sqrt(s)
+    omega: jax.Array        # prolongator-smoothing damping (0 = tentative)
+    s: int
+    n_fine: int
+    n_coarse: int
+
+    def prolong(self, fine_op, dinv, e_c):
+        t = self.w * _upsample(e_c, self.s, self.n_fine)
+        return t - self.omega * (dinv * fine_op.mv(t))
+
+    def restrict(self, fine_op, dinv, v):
+        sm = v - self.omega * fine_op.mv(dinv * v)
+        return self.w * _segsum(sm, self.s, self.n_coarse)
+
+
+# --------------------------------------------------------------------------
+# full setup
+# --------------------------------------------------------------------------
+
+def _pick_seg(n: int, k: int, seg_size: int | None, factor: int) -> int:
+    """Segment size: explicit wins; else 2.  What bounds SA two-grid
+    quality is the aggregate DIAMETER — the one-pass-smoothed piecewise-
+    constant prolongator only reaches one node past the aggregate, so
+    1-D segments must stay SHORT (measured on the 16^3 Poisson matrix
+    treated as generic banded: s=2 -> 11 CG+AMG iterations (beats the
+    greedy-Vanek host path's 31), s=3 -> 18, s=8 -> 92 on the 1-D wrap
+    Laplacian).  More levels are cheap; wide aggregates are not."""
+    if seg_size is not None:
+        return max(2, int(seg_size))
+    return 2
+
+
+def gamg_setup_banded_device(
+    fine_op: DIA,
+    params=None,
+    seg_size: int | None = None,
+    timings: dict | None = None,
+    max_offsets: int = 192,
+    drop_tol: float = 1e-4,
+    smooth_k_cap: int = 12,
+):
+    """Device-resident smoothed-aggregation hierarchy over an arbitrary
+    banded (DIA) operator.  No host matrix is ever formed: every level's
+    aggregation (index segments), prolongator smoothing, and Galerkin
+    triple product are static-shape XLA programs over band arrays; the
+    only host<->device traffic is one tiny band-norm fetch per level
+    (used to drop structurally-zero candidate bands so K stays bounded).
+
+    Role parity: PETSc GAMG setup inside KSPSetUp
+    (``/root/reference/src/main_ksp.cpp:97``) for general matrices
+    (MATAIJ, ``helper.cpp:39``) — here for any matrix the gather-free
+    general executor can hold (DIA), at any size the chip can hold.
+    """
+    from tpusparse.amg.hierarchy import (
+        AMGParams,
+        Hierarchy,
+        Level,
+        dense_coarse_inverse,
+        estimate_rho_dinv_a,
+    )
+
+    params = params or AMGParams()
+    if params.nsmooths not in (0, 1):
+        raise ValueError("only nsmooths in {0, 1} supported")
+    if params.bjacobi_bs:
+        raise ValueError(
+            "banded-device setup supports point smoother sub-PCs only"
+            " (bjacobi blocks need a host CSR — use the greedy path)"
+        )
+    if not isinstance(fine_op, DIA):
+        raise ValueError(
+            f"banded-device setup needs a DIA fine operator, got"
+            f" {type(fine_op).__name__}"
+        )
+
+    tm = {"rho": 0.0, "galerkin": 0.0, "device_put": 0.0}
+    levels: list[Level] = []
+    op = fine_op
+    bands, offsets = op.bands, op.offsets
+    dt = bands.dtype
+    n = op.shape[0]
+    s = _pick_seg(n, len(offsets), seg_size, params.factor)
+
+    @partial(jax.jit, static_argnames=("offs", "seg", "nn", "nsmooths"))
+    def _level(bands, dinv, omega, *, offs, seg, nn, nsmooths):
+        # bands only — the (static) coarse offsets are recomputed outside
+        # via coarse_offsets(); returning them here would trace them
+        return _coarsen_once(
+            bands, offs, dinv, omega, s=seg, n=nn, nsmooths=nsmooths
+        )[0]
+
+    while True:
+        if 0 not in offsets:
+            raise ValueError("level operator has no main diagonal")
+        diag = bands[offsets.index(0)]
+        dinv = 1.0 / diag
+        d = DIA(bands=bands, offsets=offsets, shape=(n, n))
+        _t0 = _time.perf_counter()
+        rho = (
+            estimate_rho_dinv_a(d, dinv, params.rho_iters)
+            * params.rho_safety
+        )
+        tm["rho"] += _time.perf_counter() - _t0
+        last = (
+            n <= params.coarse_eq_limit
+            or len(levels) + 1 >= params.max_levels
+            or -(-n // s) >= n  # aggregation stalled
+        )
+        lev_common = dict(op=d, dinv=dinv, rho=rho, bjac=None)
+        if last:
+            levels.append(Level(
+                transfer=None,
+                coarse_inv=(
+                    dense_coarse_inverse(d)
+                    if params.coarse_solve == "lu" else None
+                ),
+                **lev_common,
+            ))
+            break
+        # Prolongator smoothing per level: smoothed while the level is
+        # narrow enough (the Galerkin program has O(K^2) residue-split
+        # terms; at K=27 it no longer compiles in reasonable time),
+        # tentative beyond — the non-Galerkin-complexity-control move
+        # (plain aggregation on wide coarse levels), with the CYCLE
+        # transfer matched to the same P so every level stays an exact
+        # Galerkin pair.  The fine level — the one that decides two-grid
+        # quality — is always smoothed.
+        nsm = params.nsmooths if len(offsets) <= smooth_k_cap else 0
+        omega = (
+            jnp.asarray(params.omega_scale, dt) / rho
+            if nsm == 1 else jnp.zeros((), dt)
+        )
+        n_c = -(-n // s)
+        levels.append(Level(
+            transfer=SegTransfer(
+                w=jnp.asarray(1.0 / np.sqrt(s), dt),
+                omega=omega.astype(dt),
+                s=s, n_fine=n, n_coarse=n_c,
+            ),
+            **lev_common,
+        ))
+        _t0 = _time.perf_counter()
+        cb = _level(
+            bands, dinv, omega,
+            offs=offsets, seg=s, nn=n, nsmooths=nsm,
+        )
+        coffs = coarse_offsets(offsets, s, nsm)
+        # drop structurally-zero candidate bands (static-shape compile
+        # produces them whenever residue splits miss) AND negligible
+        # ones (max|band| < drop_tol * max|diag|): smoothing widens the
+        # Galerkin pattern by one offset unit per level while coarsening
+        # shrinks offsets by s, so without filtering K grows without
+        # bound at small s — the far bands decay geometrically (powers
+        # of the smoother), making a relative drop tolerance safe.
+        # ONE tiny fetch per level.
+        norms = np.asarray(jnp.max(jnp.abs(cb), axis=1))
+        dnorm = norms[coffs.index(0)] if 0 in coffs else 1.0
+        keep = [
+            i for i, e in enumerate(coffs)
+            if e == 0 or norms[i] > drop_tol * dnorm
+        ]
+        if len(keep) > max_offsets:
+            raise ValueError(
+                f"coarse level would occupy {len(keep)} bands >"
+                f" max_offsets={max_offsets}; raise seg_size"
+            )
+        bands = cb[jnp.asarray(keep, jnp.int32)]
+        offsets = tuple(coffs[i] for i in keep)
+        n = n_c
+        tm["galerkin"] += _time.perf_counter() - _t0
+
+    if timings is not None:
+        timings.update(tm)
+    return Hierarchy(
+        levels=levels,
+        damping=jnp.asarray(params.smooth_damping, dt),
+        smoother=params.smoother,
+        degree=params.degree,
+        cheby_lo=params.cheby_lo,
+        cheby_hi=params.cheby_hi,
+    )

@@ -216,8 +216,11 @@ def gamg_setup_unstructured(
     + FactoredTransfer); "geometric" demands a grid-shaped sparsity pattern
     (``amg/geo.infer_grid3d``) and aggregates by 3-D index blocks with
     reshape-based transfers — no gathers or scatters anywhere in the cycle;
-    "auto" (default) uses geometric when the pattern reveals a grid, greedy
-    otherwise.
+    "banded" is the device-resident contiguous-segment setup for arbitrary
+    banded matrices (``amg/deviceagg.py`` — no host matrix, no gathers);
+    "auto" (default) uses geometric when the pattern reveals a grid, then
+    banded when greedy is not viable (device-assembled input, or a fine
+    level above the in-cycle gather cap), greedy otherwise.
     """
     if params.coarse_solve not in ("jacobi", "lu"):
         raise ValueError(
@@ -226,6 +229,11 @@ def gamg_setup_unstructured(
     import scipy.sparse as sp
 
     from tpusparse.sparse.dia import DIA
+
+    # greedy's FactoredTransfer gathers at fine-level size inside the
+    # solver loop; above this the deployed libtpu crashes (sparse/dia.py
+    # GATHER_ROW_CAP) — "auto" reroutes such inputs to the banded setup
+    GATHER_ROW_CAP_BANDED = 1_500_000
 
     if params.nsmooths not in (0, 1):
         raise ValueError("only nsmooths in {0, 1} supported")
@@ -239,7 +247,7 @@ def gamg_setup_unstructured(
         raise ValueError(f"unknown device_format {device_format!r}")
     if transfer_format not in ("auto", "factored", "ell"):
         raise ValueError(f"unknown transfer_format {transfer_format!r}")
-    if aggregation not in ("auto", "geometric", "greedy"):
+    if aggregation not in ("auto", "geometric", "greedy", "banded"):
         raise ValueError(f"unknown aggregation {aggregation!r}")
     factored = transfer_format in ("auto", "factored")
 
@@ -333,14 +341,57 @@ def gamg_setup_unstructured(
         return ELL.from_csr(h, dtype=dtype)
     import time as _time
 
+    # Device-resident banded setup (amg/deviceagg.py): the non-grid twin
+    # of the geo compiled path — contiguous-segment aggregation + static
+    # segment-banded Galerkin, no host matrix and no gathers anywhere.
+    # Taken when explicitly requested ("banded"), or under "auto" when the
+    # greedy host path is not viable: no host CSR at all (device-assembled
+    # callers), or a fine level too large for the greedy path's in-cycle
+    # FactoredTransfer gathers (the deployed-libtpu crash cap).
+    if params.bjacobi_bs == 0 and (
+        aggregation == "banded"
+        or (
+            aggregation == "auto"
+            and (
+                (a is None and fine_op is not None)
+                or (a is not None and a.n_rows > GATHER_ROW_CAP_BANDED)
+            )
+        )
+    ):
+        cand = fine_op if isinstance(fine_op, DIA) else None
+        if cand is None and a is not None:
+            try:
+                cand = DIA.from_csr(a, max_offsets=max_offsets, dtype=dtype)
+            except ValueError:
+                if aggregation == "banded":
+                    raise
+                cand = None  # too many diagonals: fall through to greedy
+        if cand is not None:
+            from tpusparse.amg.deviceagg import gamg_setup_banded_device
+
+            if dtype is not None and cand.dtype != np.dtype(dtype):
+                cand = DIA(
+                    bands=cand.bands.astype(np.dtype(dtype)),
+                    offsets=cand.offsets, shape=cand.shape,
+                )
+            tm0: dict = {}
+            hier = gamg_setup_banded_device(
+                cand, params, timings=tm0, max_offsets=max_offsets
+            )
+            if timings is not None:
+                timings.update(tm0)
+            return hier
+
     if a is None:
         # device-assembled caller (e.g. the aij driver's zero-host-work
-        # init): only the fully device-resident geometric branch above can
-        # run — the greedy path's graph passes are host-side by design
+        # init): only the device-resident branches above can run — the
+        # greedy path's graph passes are host-side by design, and the
+        # banded route was refused (bjacobi sub-PC or no DIA fine_op)
         raise ValueError(
-            "no host CSR and the sparsity pattern did not resolve to the"
-            " device-resident geometric setup (infer_grid3d); pass the"
-            " HostCSR for greedy aggregation"
+            "no host CSR and the sparsity pattern did not resolve to a"
+            " device-resident setup (geometric infer_grid3d / banded"
+            " segment aggregation); pass the HostCSR for greedy"
+            " aggregation"
         )
 
     tm = {"aggregate": 0.0, "galerkin": 0.0, "rho": 0.0, "device_put": 0.0}
@@ -529,3 +580,41 @@ def gamg_setup_unstructured(
         cheby_lo=params.cheby_lo,
         cheby_hi=params.cheby_hi,
     )
+
+
+def lift_pallas_levels(hier: Hierarchy, interpret: bool = False) -> Hierarchy:
+    """Swap eligible DIA level operators for the Pallas slab-kernel form.
+
+    Every V-cycle mv (residuals, chebyshev smoothing, smoothed transfers)
+    and the inner-CG fine mv then run the banded slab pipeline
+    (``kernels/diaband.py``) instead of XLA's per-band lane-relayout
+    shifts — measured 3.9x on the 7-band 300^3 fine level (3.29 vs
+    12.74 ms; bench/spmv.py).  HybridDIA levels keep their thin ELL gather
+    remainder and only the band part is lifted.  Levels the kernel cannot
+    run (f64, too many bands, too small) pass through untouched, so the
+    lift is always safe to apply.  Call AFTER setup, on the TPU backend
+    (or with ``interpret=True`` under the CPU test suite).
+    """
+    import dataclasses as _dc
+
+    from tpusparse.sparse.dia import DIA, HybridDIA, PallasDIA
+
+    new_levels = []
+    changed = False
+    for lev in hier.levels:
+        op = lev.op
+        new_op = None
+        if isinstance(op, DIA) and PallasDIA.supported(op):
+            new_op = PallasDIA.from_dia(op, interpret=interpret)
+        elif isinstance(op, HybridDIA) and PallasDIA.supported(op.dia):
+            new_op = _dc.replace(
+                op, dia=PallasDIA.from_dia(op.dia, interpret=interpret)
+            )
+        if new_op is not None:
+            lev = _dc.replace(lev, op=new_op)
+            changed = True
+        new_levels.append(lev)
+    if not changed:
+        return hier
+    return _dc.replace(hier, levels=new_levels)
+

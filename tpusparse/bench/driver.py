@@ -1068,6 +1068,14 @@ def _solve_poisson_aij(
             a, params, dtype=lo_dtype if mixed else None,
             timings={}, aggregation=aggregation, fine_op=op_lo,
         )
+        from tpusparse.kernels.stencil7 import is_tpu_backend as _itb
+
+        if _itb():
+            # pre-build the Pallas-lift stacking programs too (the timed
+            # setup below re-executes them from the in-process jit cache)
+            from tpusparse.amg.unstructured import lift_pallas_levels
+
+            _pre = lift_pallas_levels(_pre)
         float(_pre.levels[-1].rho)  # sync via scalar fetch (tunnel-safe)
         del _pre
 
@@ -1081,6 +1089,15 @@ def _solve_poisson_aij(
             timings=breakdown, aggregation=aggregation,
             fine_op=op_lo,
         )
+        from tpusparse.kernels.stencil7 import is_tpu_backend
+
+        if is_tpu_backend():
+            # swap eligible DIA levels for the Pallas banded slab kernel
+            # (the general-matrix MatMult_SeqAIJ hot kernel; 3.9x over
+            # the XLA band shifts at 300^3 — see amg/unstructured.py)
+            from tpusparse.amg.unstructured import lift_pallas_levels
+
+            pc_state = lift_pallas_levels(pc_state)
         op_lo = pc_state.levels[0].op
         m_of = lambda pc_state: (
             lambda r: vcycle(pc_state, r, gamma=gamma)

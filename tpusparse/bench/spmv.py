@@ -112,6 +112,29 @@ def run(n: int = 300, reps: int = 20, dtype=jnp.float64):
         )
     )
 
+    # Pallas banded kernel over the SAME matrix (kernels/diaband.py): the
+    # general-matrix hot kernel (MatMult_SeqAIJ role) — slab-pipelined
+    # band streams instead of XLA's per-band lane-relayout shifts.
+    from tpusparse.sparse.dia import PallasDIA
+
+    if (
+        jnp.dtype(dtype) == jnp.float32
+        and is_tpu_backend()
+        and PallasDIA.supported(dia)
+    ):
+        pdia = PallasDIA.from_dia(dia)
+        stats.append(
+            bench_op(
+                f"diaband_pallas{len(dia.offsets)}_mv_{n}^3_f32",
+                lambda d, x: d.mv(x), pdia, xd,
+                flops=spmv_flops(a.nnz, grid.n),
+                # traffic: K band reads + x read + y write (the kernel's
+                # halo-tail reuse reads x exactly once)
+                bytes_=(len(dia.offsets) + 2) * grid.n * vb,
+                nnz=a.nnz, reps=reps,
+            )
+        )
+
     # ELL form (width 8).  Deployed-libtpu caveat: gather-based mv crashes
     # the TPU worker above a few million rows even in fixed-trip loops
     # (2.1M rows fine, 27M fatal — see sparse/bsr.py known-issue note), so

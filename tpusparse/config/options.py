@@ -89,8 +89,11 @@ class Options:
 
     # TPU-framework extensions (no PETSc counterpart)
     # aij-path aggregation: "auto" (geometric when the sparsity pattern
-    # reveals a 3-D grid — amg/geo.py — else greedy Vanek), "geometric",
-    # "greedy".  PETSc's analogue of structure-informed aggregation is
+    # reveals a 3-D grid — amg/geo.py — else greedy Vanek, rerouted to
+    # "banded" when the input is device-assembled or too large for the
+    # greedy path's in-cycle gathers), "geometric", "greedy", "banded"
+    # (device-resident contiguous-segment setup, amg/deviceagg.py).
+    # PETSc's analogue of structure-informed aggregation is
     # PCSetCoordinates-fed GAMG.
     pc_gamg_aggregation: str = "auto"
     # aij-path structure detection (sparse/starlift.py): prove the
@@ -194,8 +197,8 @@ class Options:
                 f" path) or 'aij' (general assembled CSR, MATAIJ parity)"
             )
         degrade("pc_type", ("gamg", "jacobi", "sor", "bjacobi", "none"), "gamg")
-        degrade("pc_gamg_aggregation", ("auto", "geometric", "greedy"),
-                "auto")
+        degrade("pc_gamg_aggregation",
+                ("auto", "geometric", "greedy", "banded"), "auto")
         degrade("pc_gamg_type", ("agg",), "agg")
         degrade("mg_levels_ksp_type", ("richardson", "chebyshev"),
                 "chebyshev")

@@ -20,10 +20,11 @@ loop, double-buffered input DMAs, double-buffered output writebacks, and
 halo sharing for x (consecutive slabs' x windows overlap by 2*HR rows; the
 overlap rides in a VMEM tail buffer so x is read from HBM exactly once).
 
-Layouts: x/y are length ``n_pad`` (n rounded up to LANE*8), zero-tailed;
-bands ride as ONE stacked (K * n_pad,) array (``stack_bands``) so each
-band-slab DMA is a contiguous row range.  Offsets are STATIC (they shape
-the roll/select constants).  f32 only; the general executor's inner dtype.
+Layouts: x/y are length ``n_pad`` (n rounded up to a whole number of
+slabs), zero-tailed; bands ride as ONE slab-major stacked (K * n_pad,)
+array (``stack_bands``) so EACH SLAB'S ENTIRE BAND DATA is a single
+contiguous DMA.  Offsets are STATIC (they shape the roll/select
+constants).  f32 only; the general executor's inner dtype.
 """
 
 from __future__ import annotations
@@ -39,14 +40,56 @@ LANE = 128
 SUB = 8
 
 
-def _pad_rows(n: int) -> int:
-    """Rows of the (R, LANE) 2-D view for a length-n vector (8-row tiles)."""
-    r = -(-n // LANE)
-    return -(-r // SUB) * SUB
+def _halo_rows(offsets) -> int:
+    """Halo row count: the largest |offset| in rows, +1 for the lane spill,
+    rounded to the 8-row sublane tile."""
+    m = max(abs(int(o)) for o in offsets) if offsets else 0
+    hr = m // LANE + 1
+    return -(-hr // SUB) * SUB
 
 
-def n_padded(n: int) -> int:
-    return _pad_rows(n) * LANE
+def _pick_ts(n: int, hr: int, k: int) -> tuple[int, int]:
+    """(slab rows, total padded rows).  The slab size is chosen FREELY (no
+    row-count divisibility — AMG level operators land on near-prime padded
+    row counts) and the row space padded up to a multiple of it: the
+    largest 8-multiple fitting the VMEM budget with double buffering,
+    capped so small matrices keep >= 2 slabs for the pipeline.  (0, 0)
+    when nothing fits (fall back to XLA)."""
+    rows_min = -(-(-(-n // LANE)) // SUB) * SUB
+    # 48 MB budget (of the ~128 MB VMEM): Mosaic's live-range accounting
+    # charges well beyond the declared scratch — the K-band compute loop
+    # unrolls fully and its roll/select temporaries overlap (a 100 MB
+    # model OOM'd at K=27: 159.6 MB used of 128).  Keep the band slabs
+    # (the dominant term, 2*K*ts) under half of VMEM and leave the rest
+    # to the compiler.
+    budget = 48 * 1024 * 1024 // (LANE * 4)  # total rows of f32 VMEM
+    best = 0
+    # keep >= 16 slabs when possible: the pair-pipelined loop needs depth
+    # to hide its prologue/epilogue (6-slab level-1 measured 85 GB/s vs
+    # the fine level's 338 at 104 slabs)
+    hi = min(max(rows_min // 16, 8), 2048)
+    for ts in range(8, hi + 1, 8):
+        # dbl-buf x/bands/y + tail + xw concat + compute-temp slack
+        need = ts * (2 * k + 16) + 6 * hr
+        if need <= budget:
+            best = ts
+    if best == 0:
+        return 0, 0
+    rows = -(-rows_min // best) * best
+    return best, rows
+
+
+def _plan(n: int, offsets) -> tuple[int, int, int]:
+    """(ts, rows, hr) for a vector length / offset set; ts == 0 means the
+    kernel cannot run this shape."""
+    hr = _halo_rows(offsets)
+    ts, rows = _pick_ts(n, hr, len(offsets))
+    return ts, rows, hr
+
+
+def n_padded(n: int, offsets=(0,)) -> int:
+    _ts, rows, _hr = _plan(n, offsets)
+    return rows * LANE
 
 
 def supported(n: int, offsets: tuple[int, ...], dtype) -> bool:
@@ -56,50 +99,34 @@ def supported(n: int, offsets: tuple[int, ...], dtype) -> bool:
         return False
     if len(offsets) > 48:
         return False
-    rows = _pad_rows(n)
-    hr = _halo_rows(offsets)
-    ts = _pick_ts(rows, hr, len(offsets))
+    ts, _rows, _hr = _plan(n, offsets)
     return ts > 0
 
 
-def _halo_rows(offsets) -> int:
-    """Halo row count: the largest |offset| in rows, +1 for the lane spill,
-    rounded to the 8-row sublane tile."""
-    m = max(abs(int(o)) for o in offsets) if offsets else 0
-    hr = m // LANE + 1
-    return -(-hr // SUB) * SUB
-
-
-def _pick_ts(rows: int, hr: int, k: int) -> int:
-    """Slab rows: the largest row divisor fitting the VMEM budget with
-    double buffering; 0 when nothing fits (fall back to XLA)."""
-    budget = 100 * 1024 * 1024 // (LANE * 4)  # total rows of f32 VMEM
-    best = 0
-    for ts in range(8, min(rows // 2, 8192) + 1, 8):
-        if rows % ts:
-            continue
-        # dbl-buf x/bands/y + tail + slack for live compute temporaries
-        need = 2 * ts * (1 + k) + 2 * ts + 2 * hr + 8 * ts
-        if need <= budget:
-            best = ts
-    return best
-
-
 def stack_bands(bands, offsets, n: int):
-    """(K, n) band array -> the kernel's stacked (K * n_pad, LANE) 2-D HBM
-    layout (band k occupies rows [k*R, (k+1)*R)).  Done ONCE at container
-    build; zero-padded tails keep the pad-output-zero invariant."""
+    """(K, n) band array -> the kernel's SLAB-MAJOR stacked (K * R, LANE)
+    2-D HBM layout: slab i's rows [i*K*ts, (i+1)*K*ts) hold ALL K bands
+    of that slab (band j at sub-rows [j*ts, (j+1)*ts)), so every slab's
+    band data arrives in ONE contiguous DMA.  (The band-major layout
+    needed K DMAs/slab; their issue+wait overhead dominated small levels:
+    a 27-band 1M-row mv measured 1.4 ms of ~pure semaphore traffic.)
+    Done ONCE at container build; zero-padded tails keep the
+    pad-output-zero invariant."""
     import numpy as np
 
     k, _ = bands.shape
-    npad = n_padded(n)
+    ts, rows, _hr = _plan(n, offsets)
+    npad = rows * LANE
+    ns = rows // ts
     if isinstance(bands, np.ndarray):
         out = np.zeros((k, npad), bands.dtype)
         out[:, :n] = bands
-        return jnp.asarray(out.reshape(k * (npad // LANE), LANE))
+        out = out.reshape(k, ns, ts, LANE).transpose(1, 0, 2, 3)
+        return jnp.asarray(np.ascontiguousarray(out).reshape(-1, LANE))
     out = jnp.zeros((k, npad), bands.dtype)
     out = out.at[:, :n].set(bands)
-    return out.reshape(k * (npad // LANE), LANE)
+    out = out.reshape(k, ns, ts, LANE).transpose(1, 0, 2, 3)
+    return out.reshape(-1, LANE)
 
 
 def _kernel(
@@ -124,22 +151,13 @@ def _kernel(
         )
 
     def dma_b(i, buf):
-        # K band slabs stacked into one buffer: band j rows land at
-        # [j*ts, (j+1)*ts) of the buffer
-        for j in range(k):
-            pltpu.make_async_copy(
-                b_hbm.at[pl.ds(i32(j * rows) + i * i32(ts), ts)],
-                bsb.at[jnp.int32(buf), pl.ds(j * ts, ts)],
-                sb.at[jnp.int32(buf), jnp.int32(j)],
-            ).start()
-
-    def wait_b(i, buf):
-        for j in range(k):
-            pltpu.make_async_copy(
-                b_hbm.at[pl.ds(i32(j * rows) + i * i32(ts), ts)],
-                bsb.at[jnp.int32(buf), pl.ds(j * ts, ts)],
-                sb.at[jnp.int32(buf), jnp.int32(j)],
-            ).wait()
+        # slab-major layout: slab i's K band slabs are ONE contiguous
+        # k*ts-row range (band j lands at buffer rows [j*ts, (j+1)*ts))
+        return pltpu.make_async_copy(
+            b_hbm.at[pl.ds(i * i32(k * ts), k * ts)],
+            bsb.at[jnp.int32(buf)],
+            sb.at[jnp.int32(buf)],
+        )
 
     def wb(i, buf):
         return pltpu.make_async_copy(
@@ -172,9 +190,9 @@ def _kernel(
 
     def run(i, buf, prefetch, pbuf, wait_wb):
         dma_x(prefetch, pbuf).start()
-        dma_b(prefetch, pbuf)
+        dma_b(prefetch, pbuf).start()
         dma_x(i, buf).wait()
-        wait_b(i, buf)
+        dma_b(i, buf).wait()
         if wait_wb:
             wb(i - i32(2), buf).wait()
         ys[jnp.int32(buf)] = compute(i, buf)
@@ -185,7 +203,7 @@ def _kernel(
     tl = pltpu.make_async_copy(x_hbm.at[pl.ds(0, 2 * hr)], xtail, stl)
     tl.start()
     dma_x(i32(0), 0).start()
-    dma_b(i32(0), 0)
+    dma_b(i32(0), 0).start()
     tl.wait()
 
     run(i32(0), 0, jax.lax.rem(i32(1), i32(grid)), 1, False)
@@ -204,14 +222,14 @@ def _kernel(
     if grid % 2 and grid > 1:
         last = i32(grid - 1)
         dma_x(last, 0).wait()
-        wait_b(last, 0)
+        dma_b(last, 0).wait()
         if grid > 2:
             wb(last - i32(2), 0).wait()
         ys[jnp.int32(0)] = compute(last, 0)
         wb(last, 0).start()
     else:
         dma_x(i32(0), 0).wait()
-        wait_b(i32(0), 0)
+        dma_b(i32(0), 0).wait()
 
     wb(i32(grid - 1), (grid - 1) % 2).wait()
     if grid > 1:
@@ -232,15 +250,17 @@ def dia_mv_pallas(
     2 extra XLA passes per call — callers holding padded vectors can pass
     ``n == n_padded`` views to avoid it.
     """
-    rows = _pad_rows(n)
+    ts, rows, hr = _plan(n, offsets)
+    if ts_override:
+        ts = ts_override
+        rows_min = -(-(-(-n // LANE)) // SUB) * SUB
+        rows = -(-rows_min // ts) * ts
     npad = rows * LANE
     k = len(offsets)
     if kbands.shape != (k * rows, LANE):
         raise ValueError(
             f"kbands {kbands.shape} != {(k * rows, LANE)} for n={n}"
         )
-    hr = _halo_rows(offsets)
-    ts = ts_override or _pick_ts(rows, hr, k)
     if ts == 0:
         raise ValueError(f"no slab size fits n={n}, K={k}")
     # hr-row zero prefix and suffix make every window read in-bounds
@@ -266,7 +286,7 @@ def dia_mv_pallas(
             pltpu.VMEM((2, ts, LANE), jnp.float32),       # y staging
             pltpu.VMEM((2 * hr, LANE), jnp.float32),      # x tail
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2, k)),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],

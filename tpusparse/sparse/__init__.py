@@ -1,7 +1,7 @@
 from tpusparse.sparse.bsr import BSR
 from tpusparse.sparse.coo import COO
 from tpusparse.sparse.csr import HostCSR
-from tpusparse.sparse.dia import DIA
+from tpusparse.sparse.dia import DIA, PallasDIA
 from tpusparse.sparse.ell import ELL
 from tpusparse.sparse.io import (
     load_matrix,
@@ -19,6 +19,7 @@ __all__ = [
     "COO",
     "HostCSR",
     "DIA",
+    "PallasDIA",
     "ELL",
     "PaddedStar",
     "StarStencil3D",

@@ -298,6 +298,108 @@ class HybridDIA:
         return self.mv(x)
 
 
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["kbands"],
+    meta_fields=["offsets", "shape", "interpret"],
+)
+@dataclasses.dataclass
+class PallasDIA:
+    """DIA matrix in the Pallas slab kernel's stacked HBM layout.
+
+    Same math as ``DIA`` but ``mv`` runs the gridless slab-pipeline kernel
+    (``kernels/diaband.py``) instead of K XLA ``lax.pad``-shift FMAs — each
+    band's XLA shift is lane-misaligned and pays a full relayout pass,
+    measured 13.4 ms / 14.1 Gnnz/s for the 7-band 300^3 operator vs the
+    kernel's streaming-bandwidth traffic of K band passes + x + y.  This is
+    the general-matrix MatMult_SeqAIJ hot kernel (reference:
+    ``/root/reference/src/openacc-step1/MatMult_SeqAIJ.patch:19-30``).
+
+    ``kbands``: band k occupies rows [k*R, (k+1)*R) of a (K*R, LANE) f32
+    array (R = the kernel plan's padded row count).  Built once at setup by
+    ``from_dia`` — the PETSc-step-2 "matrix uploaded once, reused across
+    thousands of MatMults" invariant, extended to layout.  f32 only (the
+    inner-solve dtype); use plain DIA elsewhere.
+    """
+
+    kbands: jax.Array              # (K * R, LANE) stacked f32 band layout
+    offsets: tuple[int, ...]
+    shape: tuple[int, int]
+    interpret: bool = False        # Pallas interpreter (CPU test suite)
+
+    @classmethod
+    def supported(cls, d: "DIA") -> bool:
+        from tpusparse.kernels.diaband import supported
+
+        return (
+            d.shape[0] == d.shape[1]
+            and supported(d.shape[0], d.offsets, d.dtype)
+        )
+
+    @classmethod
+    def from_dia(cls, d: "DIA", interpret: bool = False) -> "PallasDIA":
+        from tpusparse.kernels.diaband import stack_bands
+
+        if not cls.supported(d):
+            raise ValueError(
+                f"kernel does not support n={d.shape}, K={len(d.offsets)},"
+                f" dtype={d.dtype}"
+            )
+        return cls(
+            kbands=stack_bands(d.bands, d.offsets, d.shape[0]),
+            offsets=d.offsets,
+            shape=d.shape,
+            interpret=interpret,
+        )
+
+    @property
+    def n_rows(self) -> int:
+        return self.shape[0]
+
+    @property
+    def n_cols(self) -> int:
+        return self.shape[1]
+
+    @property
+    def dtype(self):
+        return self.kbands.dtype
+
+    @property
+    def nnz(self):
+        return jnp.sum(self.kbands != 0).astype(jnp.int64)
+
+    def band(self, k: int) -> jax.Array:
+        """Band k as a flat (n,) view of the slab-major stacked layout."""
+        from tpusparse.kernels.diaband import LANE, _plan
+
+        ts, rows, _hr = _plan(self.n_rows, self.offsets)
+        nk = len(self.offsets)
+        v = self.kbands.reshape(rows // ts, nk, ts, LANE)[:, k]
+        return v.reshape(-1)[: self.n_rows]
+
+    def diagonal(self) -> jax.Array:
+        if 0 in self.offsets:
+            return self.band(self.offsets.index(0))
+        return jnp.zeros(self.n_rows, self.dtype)
+
+    def to_dia(self) -> "DIA":
+        bands = jnp.stack(
+            [self.band(k) for k in range(len(self.offsets))]
+        )
+        return DIA(bands=bands, offsets=self.offsets, shape=self.shape)
+
+    def mv(self, x: jax.Array) -> jax.Array:
+        from tpusparse.kernels.diaband import dia_mv_pallas
+
+        return dia_mv_pallas(
+            self.kbands, x, self.offsets, self.n_rows,
+            interpret=self.interpret,
+        )
+
+    def __matmul__(self, x):
+        return self.mv(x)
+
+
 # Empirical deployed-libtpu limit: gather-based mv (ELL/COO/BSR ``x[cols]``)
 # inside jitted solver loops crashes the TPU worker at >= ~2M rows (2.1M
 # measured fine, 27M crashes reproducibly; see the module docstring).  Any
