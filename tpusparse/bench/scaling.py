@@ -152,11 +152,18 @@ def comm_model(pts: list[ScalingPoint], t_iter_1dev: float) -> list[dict]:
 
     - fine halos: each sharded axis exchanges one boundary plane per face
       per fine apply (full-duplex links, send+recv each counted once);
-    - **coarse seam** (round-2 review: previously uncharged): with coarse
-      levels replicated, every V-cycle's restrict must materialize the
-      level-1 vector on all devices — an all-gather of n/27 values — and
-      the replicated coarse solve's correction returns sharded for free
-      (local slice).  Charged as one coarse-vector transfer per cycle.
+    - **coarse seam** (round-2 review: previously uncharged; volume
+      CORRECTED from compiled HLO in round 4): with coarse levels
+      replicated, each V-cycle's restrict contracts the z axis against a
+      replicated aggregation matrix — GSPMD computes per-device PARTIALS
+      of the z-coarsened (still fine-resolution in y/x) field, then
+      all-reduces them over the z groups and all-gathers across y; the
+      payload is ~n/3 values, NOT the n/27 ring estimate round 3 charged
+      (hlo_validate measured 11264 B vs the old model's 794 B on the
+      16x16x24 / 8-device case).  Charged as
+      itemsize * n/3 * (2/py + (p-1)/p) per cycle.  (Future win: shard
+      the coarse output axis so the contraction stays local and the seam
+      drops to the n/27 all-gather.)
     """
     from tpusparse.dist.mesh import _factor2
 
@@ -171,11 +178,13 @@ def comm_model(pts: list[ScalingPoint], t_iter_1dev: float) -> list[dict]:
         faces_y = 2 if py > 1 else 0
         halo_per_apply = faces_z * plane_z + faces_y * plane_y
         halo_per_iter = halo_per_apply * MODEL["fine_applies_per_iter"]
-        # fine/coarse seam: ring all-gather moves (p-1)/p of the coarse
-        # vector through each link direction once per cycle
-        n_coarse = (p.nx * p.ny * p.nz) // MODEL["coarsen_ratio"]
+        # fine/coarse seam (HLO-measured structure, see docstring):
+        # all-reduce of the z-coarsened partial slab (~2x payload on a
+        # ring) + all-gather of the z-coarsened field
+        n3 = (p.nx * p.ny * p.nz) // 3
         seam_per_iter = int(
-            n_coarse * itemsize * (p.n_devices - 1) / max(p.n_devices, 1)
+            n3 * itemsize
+            * (2.0 / max(py, 1) + (p.n_devices - 1) / max(p.n_devices, 1))
         )
         t_halo = halo_per_iter / MODEL["ici_bytes_per_s"]
         t_seam = seam_per_iter / MODEL["ici_bytes_per_s"]
@@ -199,6 +208,70 @@ def comm_model(pts: list[ScalingPoint], t_iter_1dev: float) -> list[dict]:
             }
         )
     return out
+
+
+def hlo_validate(per_device: int = 8, n_devices: int = 8) -> dict:
+    """Machine-check comm_model's VOLUME terms against the collectives the
+    compiled sharded programs actually contain (post-SPMD HLO), on a weak-
+    scaling-shaped grid.  Returns a record for the scaling JSON; after
+    this only the model's bandwidth/latency constants are assumptions.
+    (Round-3 verdict item 4; test_hlo_comm.py asserts the same terms.)"""
+    import numpy as np
+
+    from tpusparse.amg import AMGParams, gamg_setup, vcycle
+    from tpusparse.dist import make_mesh, shard_hierarchy, shard_system
+    from tpusparse.dist.mesh import _factor2
+    from tpusparse.grid.grid3d import Grid3D
+    from tpusparse.grid.poisson import poisson_stencil
+    from tpusparse.utils.hlostats import compiled_collectives
+
+    pz, py = _factor2(n_devices)
+    nx, ny, nz = per_device, per_device * py, per_device * pz
+    grid = Grid3D(nx, ny, nz)
+    op, b, exact = poisson_stencil(grid, dtype=np.float32)
+    hier = gamg_setup(op, AMGParams(coarse_eq_limit=30))
+    mesh = make_mesh(n_devices)
+    op_s, b_s, _ = shard_system(op, b, exact, mesh)
+    hier_s = shard_hierarchy(hier, mesh)
+
+    itemsize = 4
+    plane_z = (ny // py) * nx * itemsize
+    plane_y = (nz // pz) * nx * itemsize
+    halo_model = (2 if pz > 1 else 0) * plane_z + (
+        2 if py > 1 else 0
+    ) * plane_y
+
+    mv = compiled_collectives(lambda o, x: o.mv(x), op_s, b_s)
+    vc = compiled_collectives(lambda h, r: vcycle(h, r), hier_s, b_s)
+    mv_cp = mv.get("collective-permute", {"bytes": 0})["bytes"]
+    vc_cp = vc.get("collective-permute", {"bytes": 0})["bytes"]
+    seam_model = int(
+        (nx * ny * nz) // 3 * itemsize
+        * (2.0 / py + (n_devices - 1) / n_devices)
+    )
+    vc_seam = int(
+        vc.get("all-gather", {"bytes": 0})["bytes"]
+        * (n_devices - 1) / n_devices
+        + 2 * vc.get("all-reduce", {"bytes": 0})["bytes"]
+    )
+    rec = {
+        "grid": [nx, ny, nz],
+        "n_devices": n_devices,
+        "halo_bytes_per_apply": {"model": halo_model, "hlo": mv_cp},
+        "vcycle_halo_bytes": {
+            "model": (MODEL["fine_applies_per_iter"] - 1) * halo_model,
+            "hlo": vc_cp,
+        },
+        "coarse_seam_bytes": {"model": seam_model, "hlo": vc_seam},
+        "match": bool(
+            mv_cp == halo_model
+            and vc_cp == (MODEL["fine_applies_per_iter"] - 1) * halo_model
+            # GSPMD's exact seam decomposition varies with shapes; the
+            # model must price the right order of magnitude
+            and 0.5 * seam_model <= vc_seam <= 2 * seam_model
+        ),
+    }
+    return rec
 
 
 def efficiency(pts: list[ScalingPoint], weak: bool) -> dict[int, float]:
@@ -252,6 +325,15 @@ def save_json(
         t1 = t_iter_1dev or pts[0].t_solve / max(pts[0].iters, 1)
         rec["projection_model"] = dict(MODEL, t_iter_1dev_s=t1)
         rec["projection"] = comm_model(pts, t1)
+        # machine-checked volume terms: the model's halo/seam byte counts
+        # vs the collectives in the compiled HLO (verdict item 4)
+        try:
+            rec["hlo_validation"] = hlo_validate(
+                per_device=min(pts[-1].nx, 16),
+                n_devices=pts[-1].n_devices,
+            )
+        except Exception as e:  # record the failure, don't hide the sweep
+            rec["hlo_validation"] = {"error": repr(e)}
     path.parent.mkdir(parents=True, exist_ok=True)
     path.write_text(json.dumps(rec, indent=2))
     print(f"wrote {path}")
