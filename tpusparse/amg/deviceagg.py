@@ -158,11 +158,32 @@ def _coarsen_once(
     # python float (WEAK type): an np.float64 scalar here silently
     # promotes every band to f64 under jax_enable_x64
     w = float(1.0 / np.sqrt(s))
-    pb = _prolongator_bands(
-        bands, offsets, dinv, omega, s, n, w, nsmooths
-    )
-    qb = _ap_bands(bands, offsets, pb, s, n)
-    ac = _ptq_bands(pb, qb, s, n, n_c)
+    if nsmooths == 0:
+        # Tentative T^T A T collapses to masked segment sums of the band
+        # arrays with PERIOD-s patterns: A_c[I, I+d] = w^2 * sum over
+        # segment I of a_o[i] where (i%s + o)//s == d.  No full-length
+        # intermediates at all — the smoothed path's pb/qb arrays made
+        # XLA's live set blow past HBM at 27M rows (27.7 GB measured),
+        # while this form peaks at the input bands plus one (n_c, s)
+        # temporary per term.
+        ac: dict = {}
+        for k, o in enumerate(offsets):
+            pad = n_c * s - n
+            a2 = (
+                jnp.pad(bands[k], (0, pad)) if pad else bands[k]
+            ).reshape(n_c, s)
+            for d in _deltas(o, s):
+                pat = jnp.asarray(
+                    [float((m + o) // s == d) for m in range(s)],
+                    bands.dtype,
+                )
+                ac[d] = ac.get(d, 0.0) + (a2 * pat).sum(axis=1) * (w * w)
+    else:
+        pb = _prolongator_bands(
+            bands, offsets, dinv, omega, s, n, w, nsmooths
+        )
+        qb = _ap_bands(bands, offsets, pb, s, n)
+        ac = _ptq_bands(pb, qb, s, n, n_c)
     coffs = tuple(sorted(ac))
     assert coffs == coarse_offsets(offsets, s, nsmooths), (
         coffs, coarse_offsets(offsets, s, nsmooths)
@@ -238,6 +259,7 @@ def gamg_setup_banded_device(
     max_offsets: int = 192,
     drop_tol: float = 1e-4,
     smooth_k_cap: int = 12,
+    n_smooth_cap: int = 8_000_000,
 ):
     """Device-resident smoothed-aggregation hierarchy over an arbitrary
     banded (DIA) operator.  No host matrix is ever formed: every level's
@@ -319,13 +341,20 @@ def gamg_setup_banded_device(
             break
         # Prolongator smoothing per level: smoothed while the level is
         # narrow enough (the Galerkin program has O(K^2) residue-split
-        # terms; at K=27 it no longer compiles in reasonable time),
-        # tentative beyond — the non-Galerkin-complexity-control move
-        # (plain aggregation on wide coarse levels), with the CYCLE
-        # transfer matched to the same P so every level stays an exact
-        # Galerkin pair.  The fine level — the one that decides two-grid
-        # quality — is always smoothed.
-        nsm = params.nsmooths if len(offsets) <= smooth_k_cap else 0
+        # terms; at K=27 it no longer compiles in reasonable time) AND
+        # small enough (the smoothed build's live set measured 22.3 GB
+        # of HBM at n=27M — linear in n, so cap where it fits with
+        # margin), tentative beyond — the non-Galerkin-complexity-
+        # control move (plain aggregation on wide/huge levels), with the
+        # CYCLE transfer matched to the same P so every level stays an
+        # exact Galerkin pair.  Measured penalty of an all-tentative
+        # hierarchy at 32^3: 2x iterations (32 vs 16), repaid by K
+        # staying at 7 on every level (no band growth, cheap applies).
+        nsm = (
+            params.nsmooths
+            if len(offsets) <= smooth_k_cap and n <= n_smooth_cap
+            else 0
+        )
         omega = (
             jnp.asarray(params.omega_scale, dt) / rho
             if nsm == 1 else jnp.zeros((), dt)

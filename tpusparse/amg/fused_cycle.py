@@ -38,6 +38,9 @@ def fused_fine_supported(hier: Hierarchy) -> bool:
         and hier.smoother in ("chebyshev", "richardson")
         and hier.degree in (1, 2)
         and jnp.dtype(lev.op.dtype) == jnp.float32
+        # a threshold-filtered P-smoothing operator (transfer.fop) cannot
+        # ride the fused kernels: their gw passes bake the FULL stencil
+        and getattr(lev.transfer.inner, "fop", None) is None
     )
 
 

@@ -35,17 +35,30 @@ def cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def coarse_shape(fine_shape: tuple[int, int, int], factor: int = 3):
-    return tuple(cdiv(s, factor) for s in fine_shape)
+def norm_factors(factor) -> tuple[int, int, int]:
+    """Per-axis aggregation factors: an int means isotropic blocks; a
+    3-tuple (fz, fy, fx) encodes anisotropic/semicoarsening aggregation
+    (factor 1 = axis not coarsened — the -pc_gamg_threshold structured
+    semantics, see hierarchy.threshold_schedule)."""
+    if isinstance(factor, (tuple, list)):
+        fz, fy, fx = (int(f) for f in factor)
+        return (fz, fy, fx)
+    return (int(factor),) * 3
 
 
-def aggregate_sizes(fine_shape, factor: int = 3) -> np.ndarray:
+def coarse_shape(fine_shape: tuple[int, int, int], factor=3):
+    return tuple(
+        cdiv(s, f) for s, f in zip(fine_shape, norm_factors(factor))
+    )
+
+
+def aggregate_sizes(fine_shape, factor=3) -> np.ndarray:
     """(ncz, ncy, ncx) array of aggregate cardinalities (ragged at the top)."""
     per_axis = []
-    for s in fine_shape:
-        nc = cdiv(s, factor)
-        sz = np.full(nc, factor, dtype=np.int64)
-        rem = s - factor * (nc - 1)
+    for s, f in zip(fine_shape, norm_factors(factor)):
+        nc = cdiv(s, f)
+        sz = np.full(nc, f, dtype=np.int64)
+        rem = s - f * (nc - 1)
         sz[-1] = rem
         per_axis.append(sz)
     return (
@@ -97,7 +110,7 @@ def _block_sum(r: jax.Array, c_shape, factor: int) -> jax.Array:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["omega", "tnorm", "sz", "sy", "sx"],
+    data_fields=["omega", "tnorm", "sz", "sy", "sx", "fop"],
     meta_fields=["fine_shape", "factor"],
 )
 @dataclasses.dataclass
@@ -116,21 +129,29 @@ class StructuredTransfer:
     sz: jax.Array                    # (nz, ncz) 0/1
     sy: jax.Array                    # (ny, ncy) 0/1
     sx: jax.Array                    # (nx, ncx) 0/1
+    # optional FILTERED operator for the P-smoothing applies only
+    # (-pc_gamg_threshold: weak-axis legs dropped so the smoothed P has no
+    # reach along uncoarsened axes — keeps A_c inside the 27-point
+    # container; PETSc smooths P with the filtered matrix the same way).
+    # The residual/smoother applies keep the FULL level operator.
+    fop: object | None
     fine_shape: tuple[int, int, int]
-    factor: int
+    factor: int | tuple[int, int, int]
 
     @classmethod
-    def build(cls, fine_shape, omega, dtype, factor: int = 3):
+    def build(cls, fine_shape, omega, dtype, factor=3, fop=None):
+        fz, fy, fx = norm_factors(factor)
         sizes = aggregate_sizes(fine_shape, factor)
         tnorm = jnp.asarray(1.0 / np.sqrt(sizes), dtype=dtype)
         return cls(
             omega=jnp.asarray(omega, dtype),
             tnorm=tnorm,
-            sz=jnp.asarray(_agg_matrix(fine_shape[0], factor, dtype)),
-            sy=jnp.asarray(_agg_matrix(fine_shape[1], factor, dtype)),
-            sx=jnp.asarray(_agg_matrix(fine_shape[2], factor, dtype)),
+            sz=jnp.asarray(_agg_matrix(fine_shape[0], fz, dtype)),
+            sy=jnp.asarray(_agg_matrix(fine_shape[1], fy, dtype)),
+            sx=jnp.asarray(_agg_matrix(fine_shape[2], fx, dtype)),
+            fop=fop,
             fine_shape=tuple(fine_shape),
-            factor=factor,
+            factor=norm_factors(factor),
         )
 
     @property
@@ -154,11 +175,15 @@ class StructuredTransfer:
 
     def prolong(self, fine_op, dinv: jax.Array, e_c: jax.Array) -> jax.Array:
         """x_f = P e_c = (I - omega D^{-1} A) T e_c."""
+        if self.fop is not None:
+            fine_op = self.fop  # threshold-filtered smoothing operator
         t = self.t_apply(e_c)
         return t - self.omega * dinv * fine_op.mv(t)
 
     def restrict(self, fine_op, dinv: jax.Array, r: jax.Array) -> jax.Array:
         """r_c = P^T r = T^T (I - omega A D^{-1}) r   (A symmetric)."""
+        if self.fop is not None:
+            fine_op = self.fop  # threshold-filtered smoothing operator
         s = r - self.omega * fine_op.mv(dinv * r)
         return self.tT_apply(s)
 
@@ -173,9 +198,8 @@ class StructuredTransfer:
         K, J, I = np.meshgrid(
             np.arange(fz), np.arange(fy), np.arange(fx), indexing="ij"
         )
-        agg = (
-            (K // self.factor) * cy + (J // self.factor)
-        ) * cx + (I // self.factor)
+        fz, fy, fx_ = norm_factors(self.factor)
+        agg = ((K // fz) * cy + (J // fy)) * cx + (I // fx_)
         tnorm = np.asarray(jax.device_get(self.tnorm)).reshape(-1)
         t = sp.csr_matrix(
             (

@@ -473,6 +473,16 @@ def _setup_and_solve(
             " without -ksp_monitor; skipping eigenvalue computation"
         )
         eigs = False
+    # -pc_gamg_threshold on the structured path: an EAGER strength fetch
+    # picks a static per-axis coarsening schedule (None when isotropic —
+    # the threshold-0 reference default takes this branch untouched)
+    threshold_sched = None
+    if pc == "gamg":
+        from tpusparse.amg.hierarchy import threshold_schedule as _tsch
+
+        _params_t = amg_params or AMGParams()
+        threshold_sched = _tsch(op_lo, _params_t.threshold, _params_t.factor)
+
     if warmup and pc == "gamg":
         # Setup-program build OUTSIDE the timed phase — the same protocol
         # the solve phase has always used (see the warmup note below): the
@@ -486,7 +496,10 @@ def _setup_and_solve(
         # programs, exactly like t_solve.
         from tpusparse.amg.hierarchy import gamg_setup_compiled as _gsc
 
-        _pre = _gsc(op_lo, amg_params or AMGParams())
+        _pre = _gsc(
+            op_lo, amg_params or AMGParams(),
+            factors_schedule=threshold_sched,
+        )
         float(_pre.levels[-1].rho)  # sync via scalar fetch (tunnel-safe)
         del _pre
 
@@ -507,7 +520,10 @@ def _setup_and_solve(
         from tpusparse.amg.hierarchy import gamg_setup_compiled
 
         _t0 = time.perf_counter()
-        pc_state = gamg_setup_compiled(op_lo, amg_params or AMGParams())
+        pc_state = gamg_setup_compiled(
+            op_lo, amg_params or AMGParams(),
+            factors_schedule=threshold_sched,
+        )
         jax.block_until_ready(pc_state.levels[-1].rho)
         breakdown["hierarchy_build"] = round(time.perf_counter() - _t0, 4)
         if pc_dtype == "bf16" and not padded:
