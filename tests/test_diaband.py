@@ -120,3 +120,25 @@ def test_pallas_dia_container_roundtrip():
     )
     assert p.shape == (n, n)
     assert p.n_rows == n
+
+
+@pytest.mark.parametrize("n", [256, 1000, 1024])
+def test_small_n_keeps_two_slabs(n):
+    """Tiny matrices (n <= LANE*SUB = 1024, e.g. the coarsest AMG level
+    lifted by the driver) must get a >= 2-slab plan: a grid==1 plan
+    deadlocks the drain's buffer-0 semaphore waits on real TPU (the
+    run(0,...) prefetch lands in buffer 1).  Numerics still match."""
+    from tpusparse.kernels.diaband import _plan
+
+    offsets = (-3, -1, 0, 1, 3)
+    ts, rows, _hr = _plan(n, offsets)
+    assert ts > 0 and rows // ts >= 2
+    bands = _random_dia(n, offsets, seed=6)
+    x = np.random.default_rng(7).standard_normal(n).astype(np.float32)
+    d = DIA(bands=jnp.asarray(bands), offsets=offsets, shape=(n, n))
+    y_ref = np.asarray(d.mv(jnp.asarray(x)))
+    kb = stack_bands(bands, offsets, n)
+    y = np.asarray(
+        dia_mv_pallas(kb, jnp.asarray(x), offsets, n, interpret=True)
+    )
+    np.testing.assert_allclose(y, y_ref, rtol=1e-5, atol=1e-4)

@@ -124,3 +124,24 @@ def test_weak_record_carries_hlo_validation():
         rec["halo_bytes_per_apply"]["model"]
     )
     assert rec["match"] is True
+
+
+def test_async_start_forms_counted_once():
+    """TPU post-scheduling HLO emits async `X-start`/`X-done` pairs; the
+    parser must (a) see them at all and (b) count the result member only
+    — not operand+result — and skip the `-done` repeat."""
+    txt = "\n".join([
+        "  %ar = f32[256]{0} all-reduce-start(f32[256]{0} %p), to_apply=%add",
+        "  %ard = f32[256]{0} all-reduce-done(f32[256]{0} %ar)",
+        "  %cp = (f32[128,8]{1,0}, f32[128,8]{1,0}, u32[], u32[])"
+        " collective-permute-start(f32[128,8]{1,0} %x),"
+        " source_target_pairs={{0,1}}",
+        "  %cpd = f32[128,8]{1,0} collective-permute-done(%cp)",
+        "  %ag = (f32[64]{0}, f32[512]{0}) all-gather-start(f32[64]{0} %y),"
+        " dimensions={0}",
+        "  %agd = f32[512]{0} all-gather-done(%ag)",
+    ])
+    s = collective_summary(txt)
+    assert s["all-reduce"] == {"count": 1, "bytes": 256 * 4}
+    assert s["collective-permute"] == {"count": 1, "bytes": 128 * 8 * 4}
+    assert s["all-gather"] == {"count": 1, "bytes": 512 * 4}

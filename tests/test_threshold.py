@@ -140,3 +140,52 @@ def test_threshold_zero_unchanged():
     for l0, l1 in zip(h0.levels, h1.levels):
         if l0.transfer is not None:
             assert l0.transfer.factor == l1.transfer.factor
+
+
+def test_sharded_hierarchy_shards_fop():
+    """A threshold>0 hierarchy carries a FINE-grid-sized filtered smoothing
+    operator (transfer.fop); shard_hierarchy must shard it like lev0.op —
+    replicating a VarStencil27 coef stack on every device is a memory
+    blowup and forces GSPMD resharding inside restrict/prolong (ADVICE
+    r4).  Sharded solve must still match single-device."""
+    import jax
+
+    from tpusparse.dist import field_sharding, make_mesh, shard_hierarchy
+    from tpusparse.dist.mesh import _put
+    from tpusparse.grid.diffusion import assemble_diffusion, default_kappa
+
+    grid = Grid3D(16, 16, 16, lz=0.1)  # strong z coupling
+    kappa = default_kappa(grid, contrast=10.0)
+    op, _, b = assemble_diffusion(grid, kappa)
+    sched = threshold_schedule(op, 0.05)
+    assert sched is not None and sched[0] != (3, 3, 3), sched
+    hier = gamg_setup(
+        op, AMGParams(coarse_eq_limit=64, threshold=0.05),
+        factors_schedule=sched,
+    )
+    fop = hier.levels[0].transfer.fop
+    assert fop is not None and fop.coef.ndim == 4
+
+    run = jax.jit(
+        lambda op, h, b: cg(
+            op.mv, b, rtol=1e-10, maxiter=500,
+            m_mv=lambda r: vcycle(h, r),
+        )
+    )
+    res0 = run(op, hier, jnp.asarray(b))
+
+    mesh = make_mesh(8)
+    hier_s = shard_hierarchy(hier, mesh)
+    fop_s = hier_s.levels[0].transfer.fop
+    spec = fop_s.coef.sharding.spec
+    assert tuple(spec) == (None, "z", "y", None), spec
+    res1 = run(
+        _put(op, field_sharding(mesh)),
+        hier_s,
+        jax.device_put(jnp.asarray(b), field_sharding(mesh)),
+    )
+    assert int(res1.reason) > 0
+    assert int(res0.iters) == int(res1.iters)
+    np.testing.assert_allclose(
+        np.asarray(res0.x), np.asarray(res1.x), atol=1e-9
+    )

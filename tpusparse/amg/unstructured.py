@@ -348,6 +348,18 @@ def gamg_setup_unstructured(
     # greedy host path is not viable: no host CSR at all (device-assembled
     # callers), or a fine level too large for the greedy path's in-cycle
     # FactoredTransfer gathers (the deployed-libtpu crash cap).
+    if aggregation == "banded" and params.bjacobi_bs != 0:
+        # An EXPLICIT banded request must not silently reroute to greedy:
+        # raise the same incompatibility gamg_setup_banded_device would
+        # (block-Jacobi smoothers need per-block host factorization, which
+        # the device-resident path deliberately has no access to).  The
+        # silent fallback below is reserved for aggregation == "auto".
+        raise ValueError(
+            "-pc_gamg_aggregation banded is incompatible with block-Jacobi "
+            "smoothers (pc_bjacobi_bs != 0): the device-resident setup has "
+            "no host factorization path; use jacobi smoothing or the "
+            "greedy aggregation"
+        )
     if params.bjacobi_bs == 0 and (
         aggregation == "banded"
         or (

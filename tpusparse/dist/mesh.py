@@ -86,11 +86,22 @@ def _put(tree, sharding):
 
     if getattr(tree, "backend", None) is not None:
         tree = dataclasses.replace(tree, backend="xla")
-    return jax.tree.map(
-        lambda x: jax.device_put(x, sharding) if hasattr(x, "ndim") and x.ndim == 3
-        else jax.device_put(x, NamedSharding(sharding.mesh, P())),
-        tree,
-    )
+    # (27, nz, ny, nx) coefficient stacks (VarStencil27) shard along the
+    # grid dims like the fields they multiply; replicating one on a fine
+    # level is a per-device memory blowup and forces GSPMD resharding
+    # inside every mv.
+    coef_sharding = NamedSharding(sharding.mesh, P(None, *AXES, None))
+
+    def _place(x):
+        if not hasattr(x, "ndim"):
+            return x
+        if x.ndim == 3:
+            return jax.device_put(x, sharding)
+        if x.ndim == 4:
+            return jax.device_put(x, coef_sharding)
+        return jax.device_put(x, NamedSharding(sharding.mesh, P()))
+
+    return jax.tree.map(_place, tree)
 
 
 def shard_system(op, b, exact, mesh: Mesh):
@@ -117,12 +128,26 @@ def shard_hierarchy(hier, mesh: Mesh):
 
     lev0 = hier.levels[0]
     check_divisible(lev0.dinv.shape, mesh)
+    transfer0 = lev0.transfer
+    if getattr(transfer0, "fop", None) is not None:
+        # the filtered P-smoothing operator (-pc_gamg_threshold) is a
+        # FINE-grid-sized operator: shard it exactly like lev0.op, never
+        # replicate (ADVICE r4: replicated fop = memory blowup + forced
+        # resharding inside restrict/prolong)
+        import dataclasses as _dc
+
+        transfer0 = _dc.replace(
+            put_rep(_dc.replace(transfer0, fop=None)),
+            fop=_put(transfer0.fop, fs),
+        )
+    else:
+        transfer0 = put_rep(transfer0)
     new_levels = [
         type(lev0)(
             op=_put(lev0.op, fs),
             dinv=jax.device_put(lev0.dinv, fs),
             rho=jax.device_put(lev0.rho, rep),
-            transfer=put_rep(lev0.transfer),
+            transfer=transfer0,
         )
     ] + [put_rep(lev) for lev in hier.levels[1:]]
     return dataclass_replace_levels(hier, new_levels, rep)

@@ -75,7 +75,13 @@ def _pick_ts(n: int, hr: int, k: int) -> tuple[int, int]:
             best = ts
     if best == 0:
         return 0, 0
-    rows = -(-rows_min // best) * best
+    # >= 2 slabs ALWAYS: the pair-pipelined kernel's drain logic waits
+    # buffer-0 DMAs that a grid==1 plan would have already consumed (the
+    # run(0,...) prefetch lands in buffer 1) — an un-signaled semaphore
+    # wait that deadlocks on real TPU.  Padding tiny matrices to a second
+    # all-zero slab costs one wasted slab of compute and keeps the
+    # pipeline's invariants uniform.
+    rows = max(-(-rows_min // best), 2) * best
     return best, rows
 
 

@@ -22,25 +22,37 @@ _DTYPE_BYTES = {
 # `%name = f32[12,4,3]{2,1,0} collective-permute(...)` — capture the op's
 # RESULT type + which collective it is.  Tuple-typed results ((f32[...],
 # f32[...])) appear for variadic collectives; capture each member.
+# TPU-optimized post-scheduling HLO splits collectives into async
+# `X-start` / `X-done` pairs — accept the `-start` form too (the `-done`
+# result repeats the payload, so only `-start` is counted), else the
+# validator silently reports zero collective bytes on real-hardware HLO
+# while CPU-test HLO (sync forms) keeps the suite green.
 _OP_RE = re.compile(
     r"=\s*(?P<type>\([^)]*\)|[a-z0-9]+\[[0-9,]*\][^ ]*)\s+"
     r"(?P<op>collective-permute|all-gather|all-reduce|all-to-all|"
-    r"reduce-scatter)\(",
+    r"reduce-scatter)(?P<async>-start)?\(",
 )
 _SHAPE_RE = re.compile(r"([a-z0-9]+)\[([0-9,]*)\]")
 
 
-def _type_bytes(type_str: str) -> int:
-    total = 0
-    for dt, dims in _SHAPE_RE.findall(type_str):
-        if dt not in _DTYPE_BYTES:
-            continue
-        n = 1
-        for d in dims.split(","):
-            if d:
-                n *= int(d)
-        total += n * _DTYPE_BYTES[dt]
-    return total
+def _shape_bytes(dt: str, dims: str) -> int:
+    if dt not in _DTYPE_BYTES:
+        return 0
+    n = 1
+    for d in dims.split(","):
+        if d:
+            n *= int(d)
+    return n * _DTYPE_BYTES[dt]
+
+
+def _type_bytes(type_str: str, async_start: bool = False) -> int:
+    shapes = _SHAPE_RE.findall(type_str)
+    if async_start and type_str.lstrip().startswith("(") and len(shapes) >= 2:
+        # `X-start` results are (operand, result[, context...]) tuples —
+        # count ONLY the result member (index 1), else operand+result
+        # double-counts every async collective.
+        return _shape_bytes(*shapes[1])
+    return sum(_shape_bytes(dt, dims) for dt, dims in shapes)
 
 
 def collective_ops(hlo_text: str) -> list[dict]:
@@ -54,7 +66,9 @@ def collective_ops(hlo_text: str) -> list[dict]:
         if m:
             out.append({
                 "op": m.group("op"),
-                "bytes": _type_bytes(m.group("type")),
+                "bytes": _type_bytes(
+                    m.group("type"), async_start=bool(m.group("async"))
+                ),
                 "line": line.strip()[:160],
             })
     return out
