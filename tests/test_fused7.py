@@ -56,9 +56,15 @@ def test_fused_matches_xla_reference(mode, shape):
             # epilogue modes: the compiler may contract b - diag*x into an
             # FMA inside the fused kernel (1 ulp at the pinned origin), and
             # the transfer-smoothing modes use the exact diag-term identity
-            # where the reference rounds diag*(dinv*x)
+            # where the reference rounds diag*(dinv*x).  atol scales with
+            # the output magnitude: cgmv's ap output carries the raw
+            # diag-scaled operator range (~1e6 here), where a fixed 1e-3
+            # is below f32 roundoff.
+            w_np = np.asarray(w_)
+            scale = float(np.max(np.abs(w_np))) if w_np.size else 1.0
             np.testing.assert_allclose(
-                np.asarray(g_), np.asarray(w_), rtol=1e-5, atol=1e-3
+                np.asarray(g_), w_np, rtol=1e-5,
+                atol=max(1e-3, 1e-6 * scale),
             )
 
 

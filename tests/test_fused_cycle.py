@@ -169,3 +169,94 @@ def test_cg_m_mv_dots_and_check_every_parity():
     np.testing.assert_allclose(
         np.asarray(r_dots.x), np.asarray(r_ref.x), rtol=1e-4, atol=1e-5
     )
+
+
+@pytest.mark.parametrize("backend", ["interpret", "xla"])
+def test_full_fusion_cg_parity(backend):
+    """The full-fusion CG body (ab_fused = PaddedStar.cgmv, m_fused =
+    vcycle_fused_rupdate) vs the standard preconditioned CG: identical
+    iteration counts (+-1 rounding) and matching solutions — the same
+    cross-variant consistency gate the reference applies to its kernel
+    steps (SURVEY.md section 4)."""
+    from tpusparse.amg.fused_cycle import (
+        cg_fusion_supported,
+        vcycle_fused_rupdate,
+    )
+
+    pop, hier, b_p = _setup(backend=backend)
+    assert cg_fusion_supported(hier)
+    r_ref = cg(
+        pop.mv, b_p, rtol=1e-6, maxiter=100,
+        m_mv=lambda r: vcycle(hier, r),
+    )
+    r_fused = cg(
+        pop.mv, b_p, rtol=1e-6, maxiter=100,
+        ab_fused=lambda z, p, x, ap_, be: pop.cgmv(z, p, x, ap_, be),
+        m_fused=lambda r, ap, al: vcycle_fused_rupdate(hier, r, ap, al),
+    )
+    assert r_ref.converged() and r_fused.converged()
+    assert abs(int(r_ref.iters) - int(r_fused.iters)) <= 1
+    ref = np.asarray(r_ref.x)
+    np.testing.assert_allclose(
+        np.asarray(r_fused.x), ref, rtol=1e-4,
+        atol=1e-4 * np.abs(ref).max() + 1e-6,
+    )
+
+
+def test_full_fusion_check_every_2():
+    """check_every=2 composes with the fused body (the production lever
+    for the dynamic-loop fixed cost)."""
+    from tpusparse.amg.fused_cycle import vcycle_fused_rupdate
+
+    pop, hier, b_p = _setup(backend="xla")
+    r1 = cg(
+        pop.mv, b_p, rtol=1e-6, maxiter=100,
+        ab_fused=lambda z, p, x, ap_, be: pop.cgmv(z, p, x, ap_, be),
+        m_fused=lambda r, ap, al: vcycle_fused_rupdate(hier, r, ap, al),
+    )
+    r2 = cg(
+        pop.mv, b_p, rtol=1e-6, maxiter=100, check_every=2,
+        ab_fused=lambda z, p, x, ap_, be: pop.cgmv(z, p, x, ap_, be),
+        m_fused=lambda r, ap, al: vcycle_fused_rupdate(hier, r, ap, al),
+    )
+    assert r1.converged() and r2.converged()
+    # the checked-every-2 solve may overshoot by at most 1 iteration
+    assert int(r1.iters) <= int(r2.iters) <= int(r1.iters) + 1
+    np.testing.assert_allclose(
+        np.asarray(r2.x), np.asarray(r1.x), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_full_fusion_degree1_falls_back():
+    """Degree-1 hierarchies have no descentu twin: cg_fusion_supported is
+    False and vcycle_fused_rupdate still produces correct results via the
+    XLA-update + dot-fused fallback."""
+    from tpusparse.amg.fused_cycle import (
+        cg_fusion_supported,
+        vcycle_fused_rupdate,
+    )
+    from tpusparse.amg.hierarchy import AMGParams
+
+    grid = Grid3D(16, 16, 16)
+    op, b, _ = poisson_stencil(grid, dtype=np.float32)
+    pop = PaddedStar.from_star(op, backend="xla")
+    hier = gamg_setup(
+        pop, AMGParams(coarse_eq_limit=40, smoother="richardson", degree=1)
+    )
+    assert not cg_fusion_supported(hier)
+    b_p = pad_field(b.astype(jnp.float32))
+    alpha = jnp.float32(0.3)
+    ap = 0.5 * b_p
+    z, r_new, rz, rr = vcycle_fused_rupdate(hier, b_p, ap, alpha)
+    r_want = b_p - alpha * ap
+    np.testing.assert_allclose(
+        np.asarray(r_new), np.asarray(r_want), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(rr), float(jnp.vdot(r_want.reshape(-1), r_want.reshape(-1))),
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        float(rz), float(jnp.vdot(r_want.reshape(-1), z.reshape(-1))),
+        rtol=1e-4,
+    )

@@ -51,7 +51,16 @@ def _modes(hier: Hierarchy) -> tuple[str, str]:
     )
 
 
-def preflight(hier: Hierarchy, with_dots: bool = False) -> bool:
+def cg_fusion_supported(hier: Hierarchy) -> bool:
+    """True when the full-fusion CG body can run: the fused fine level is
+    available AND degree-2 (the 'descentu' downstroke-with-r-update kernel
+    has no degree-1 twin; degree-1 configs keep the dot-fused cycle)."""
+    return fused_fine_supported(hier) and hier.degree == 2
+
+
+def preflight(
+    hier: Hierarchy, with_dots: bool = False, with_cg: bool = False
+) -> bool:
     """AOT-verify the composite kernels for this hierarchy's fine shape.
 
     Mosaic's register-spill behavior has no reliable static predictor (see
@@ -61,7 +70,12 @@ def preflight(hier: Hierarchy, with_dots: bool = False) -> bool:
     returns False when none does (use the standard ``vcycle`` then).
 
     ``with_dots=True`` additionally verifies the dot-fused variants
-    (``vcycle_fused_dots``'s descent_rr/ascent_rz kernels)."""
+    (``vcycle_fused_dots``'s descent_rr/ascent_rz kernels).
+    ``with_cg=True`` verifies the full-fusion CG kernels instead
+    (``cgmv`` + ``descentu`` + ``ascent_rz`` — solve/cg.py's fused body via
+    ``vcycle_fused_rupdate``); requires a degree-2 hierarchy."""
+    if with_cg and not cg_fusion_supported(hier):
+        return False
     if not fused_fine_supported(hier):
         return False
     op = hier.levels[0].op
@@ -70,9 +84,12 @@ def preflight(hier: Hierarchy, with_dots: bool = False) -> bool:
     from tpusparse.kernels.fused7 import preflight_tz
 
     d_mode, a_mode = _modes(hier)
-    modes = [d_mode, a_mode]
-    if with_dots:
-        modes += [d_mode + "_rr", a_mode + "_rz"]
+    if with_cg:
+        modes = ["cgmv", "descentu", a_mode + "_rz"]
+    else:
+        modes = [d_mode, a_mode]
+        if with_dots:
+            modes += [d_mode + "_rr", a_mode + "_rz"]
     return all(
         preflight_tz(mode, op.true_shape, op.pinned) > 0
         for mode in modes
@@ -133,6 +150,81 @@ def vcycle_fused_dots(hier: Hierarchy, b_p, gamma: int = 1):
         z,
         jnp.vdot(flat_b, z.reshape(-1)),
         jnp.vdot(flat_b, flat_b),
+    )
+
+
+def vcycle_fused_rupdate(hier: Hierarchy, r_p, ap_p, alpha, gamma: int = 1):
+    """``(z, r_new, rz, rr)`` — the CG iteration's whole "bottom half" with
+    the residual update fused into the downstroke kernel:
+    ``r_new = r - alpha*ap`` is formed inside 'descentu' (one extra h3 read
+    + one write instead of a separate full-field axpy pass), carried through
+    pre-smooth/residual/P^T-smoothing, and ``rr = <r_new, r_new>`` /
+    ``rz = <r_new, z>`` ride the kernels' fused dot outputs.  Callers must
+    preflight with ``with_cg=True``; unsupported configurations fall back to
+    an XLA r-update + ``vcycle_fused_dots`` (same math, more passes)."""
+    if not (
+        cg_fusion_supported(hier)
+        and _vcycle_rupdate_ready(hier)
+    ):
+        r_new = r_p - alpha * ap_p
+        z, rz, rr = vcycle_fused_dots(hier, r_new, gamma=gamma)
+        return z, r_new, rz, rr
+    lev = hier.levels[0]
+    op: PaddedStar = lev.op
+    tr: PaddedTransfer = lev.transfer
+    inner = tr.inner
+    s0, ad, g = _fine_scalars(hier, lev)
+    gw = inner.omega.astype(jnp.float32)
+    shape = op.true_shape
+    interpret = op.backend == "interpret"
+    alpha = jnp.asarray(alpha, jnp.float32)
+
+    if op._use_pallas():
+        from tpusparse.kernels.fused7 import fused7_call
+
+        x1, s, r_new, rr = fused7_call(
+            "descentu", op.diag, op.cx, op.cy, op.cz, r_p, ap_p, r_p,
+            g, ad, s0, shape=shape, pinned=op.pinned,
+            interpret=interpret, gw=gw, g2=alpha,
+        )
+    else:
+        from tpusparse.kernels.fused7 import fused7_xla
+
+        x1, s, r_new, rr = fused7_xla(
+            "descentu", op, r_p, ap_p, r_p, g, ad, s0, gw=gw, g2=alpha
+        )
+    r_c = tr.tT_apply_padded(s)
+
+    e = vcycle(hier, r_c, level=1, gamma=gamma)
+    for _ in range(gamma - 1):
+        r_c2 = r_c - hier.levels[1].op.mv(e)
+        e = e + vcycle(hier, r_c2, level=1, gamma=gamma)
+
+    t = tr.t_apply_padded(e)
+    if op._use_pallas():
+        z, rz = fused7_call(
+            "ascent_rz", op.diag, op.cx, op.cy, op.cz, t, r_new, x1,
+            s0, ad, s0, shape=shape, pinned=op.pinned,
+            interpret=interpret, gw=gw, g2=g,
+        )
+    else:
+        z, rz = fused7_xla(
+            "ascent_rz", op, t, r_new, x1, s0, ad, s0, gw=gw, g2=g
+        )
+    return z, r_new, rz, rr
+
+
+def _vcycle_rupdate_ready(hier: Hierarchy) -> bool:
+    """Pallas eligibility for the full-fusion kernels (mirrors
+    _vcycle_fused_impl's _TZ_CACHE gate)."""
+    op = hier.levels[0].op
+    if not op._use_pallas() or op.backend == "interpret":
+        return True
+    from tpusparse.kernels.fused7 import _TZ_CACHE
+
+    return not any(
+        _TZ_CACHE.get((m, tuple(op.true_shape))) == 0
+        for m in ("cgmv", "descentu", "ascent_rz")
     )
 
 

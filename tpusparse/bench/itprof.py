@@ -158,6 +158,66 @@ def main():
     dt = (time.perf_counter() - t0) / reps
     print(f"{'FULL CG+AMG iteration':34s} {dt * 1e3:8.3f} ms")
 
+    # --- full-fusion CG kernels (round 5) -------------------------------------
+    from tpusparse.amg.fused_cycle import preflight as _pf
+    from tpusparse.amg.fused_cycle import vcycle_fused_rupdate
+
+    if not _pf(hier, with_cg=True):
+        print("# full-fusion kernels unavailable for this shape")
+        return
+
+    al = jnp.float32(0.37)
+    be = jnp.float32(0.61)
+
+    # cgmv: reads z,p,x,diag (4) writes ap,p',x' (3) = 7 passes + dot
+    timeit("cgmv kernel (7-pass + dot)",
+           lambda o, x: o.cgmv(x, x, x, al, be)[0], op, b_p,
+           reps=reps, bytes_=7 * field)
+
+    def descentu(o, x):
+        x1, s, rn, rr = fused7_call(
+            "descentu", o.diag, o.cx, o.cy, o.cz, x, x, x, g, ad, s0,
+            shape=shape, pinned=o.pinned, gw=gw, g2=al,
+        )
+        return x1 + s + rn
+
+    # descentu: reads r,ap,diag (3) writes x1,s,r' (3) = 6 passes + dot
+    timeit("descentu kernel (6-pass + dot)", descentu, op, b_p,
+           reps=reps, bytes_=6 * field)
+
+    def ascent_rz(o, x):
+        return fused7_call(
+            "ascent_rz", o.diag, o.cx, o.cy, o.cz, x, x, x, s0, ad, s0,
+            shape=shape, pinned=o.pinned, gw=gw, g2=g,
+        )[0]
+
+    timeit("ascent_rz kernel (~6.4-pass)", ascent_rz, op, b_p,
+           reps=reps, bytes_=int(6.4 * field))
+
+    def cg_iter_fused(o, h, st):
+        x, r, z, p, rz, a_prev, beta = st
+        ap, p, x, pap = o.cgmv(z, p, x, a_prev, beta)
+        alpha = rz / pap
+        z, r, rz_new, rr = vcycle_fused_rupdate(h, r, ap, alpha)
+        beta = rz_new / rz
+        return (x, r, z, p, rz_new + 0 * jnp.sqrt(rr), alpha, beta)
+
+    @jax.jit
+    def run_cg_fused(o, h, b):
+        st = (b, b, b, b, jnp.float32(1.0), jnp.float32(0.0),
+              jnp.float32(0.0))
+
+        def body(i, st):
+            return cg_iter_fused(o, h, st)
+
+        return jax.lax.fori_loop(0, reps, body, st)[0]
+
+    float(jnp.sum(run_cg_fused(op, hier, b_p)))
+    t0 = time.perf_counter()
+    float(jnp.sum(run_cg_fused(op, hier, b_p)))
+    dt = (time.perf_counter() - t0) / reps
+    print(f"{'FULL fused-CG iteration':34s} {dt * 1e3:8.3f} ms")
+
 
 if __name__ == "__main__":
     main()

@@ -107,14 +107,34 @@ _WINDOWS = {
     "ascent1": {"p": 2, "diag": 1, "b": 0, "d": 1},  # p = t, d = x1
     "descent1_rr": {"p": 2, "diag": 2},
     "ascent1_rz": {"p": 2, "diag": 1, "b": 0, "d": 1},
+    # full-fusion CG modes (round 5): every XLA vector pass of a CG+AMG
+    # iteration folded into the kernels.  cgmv runs the CG "top half" —
+    # p' = z + beta*p, the DEFERRED x update x' = x + alpha_prev*p, w = A p'
+    # and the fused <p', A p'> — one pass instead of the p-update axpy +
+    # mv + dot + half the x/r axpy pass (saves ~2 HBM passes + 3 XLA
+    # dispatches per iteration).  descentu is descent_rr with the CG
+    # r-update fused in front: r' = r - alpha*ap computed at h3 and carried
+    # through the whole downstroke, with r' also written back (third
+    # output) for the next iteration — kills the other half of the axpy
+    # pass.  alpha rides in the g2 scalar slot (free in descent modes).
+    "cgmv": {"p": 1, "diag": 0, "b": 1, "d": 0},  # p = z, b = p_old, d = x
+    "descentu": {"p": 3, "diag": 3, "b": 3},      # p = r_old, b = ap
 }
 _TWO_OUT = {
     "cheb0", "cheb", "pre2", "descent", "descent1", "descent_rr",
     "descent1_rr",
 }
-# modes that accumulate a fused dot and ship it via the small third output
-_DOT_OUT = {"mvdot", "descent_rr", "ascent_rz", "descent1_rr", "ascent1_rz"}
+_THREE_OUT = {"cgmv", "descentu"}
+# modes that accumulate a fused dot and ship it via the small last output
+_DOT_OUT = {
+    "mvdot", "descent_rr", "ascent_rz", "descent1_rr", "ascent1_rz",
+    "cgmv", "descentu",
+}
 MODES = tuple(_WINDOWS)
+
+
+def _n_out(mode: str) -> int:
+    return 3 if mode in _THREE_OUT else (2 if mode in _TWO_OUT else 1)
 
 
 # (mode, shape) -> compile-verified tz, filled by ``preflight_tz``.  Mosaic's
@@ -257,6 +277,7 @@ def _pick_tz_mode(nz: int, ny: int, nx: int, mode: str) -> int:
     if mode not in (
         "descent", "ascent", "pre2", "descent1", "ascent1",
         "descent_rr", "ascent_rz", "descent1_rr", "ascent1_rz",
+        "cgmv", "descentu",
     ):
         return _pick_tz(nz)
     from tpusparse.kernels.stencil7 import _pad_to
@@ -264,11 +285,17 @@ def _pick_tz_mode(nz: int, ny: int, nx: int, mode: str) -> int:
     plane = _pad_to(ny, 8) * _pad_to(nx, 128) * 4
     budget = 118 * 1024 * 1024
     halos = _WINDOWS[mode]
-    n_out = 2 if mode in _TWO_OUT else 1
+    n_out = _n_out(mode)
     # live-temporary window count, calibrated on the v5e at 300^3:
     # descent compiles at tz=10 and OOMs at 12; ascent (deeper chain, four
-    # buffered operands) compiles at tz=6 and OOMs at 10
-    temps = 12 if mode.startswith("ascent") else 8
+    # buffered operands) compiles at tz=6 and OOMs at 10.  cgmv chains only
+    # one stencil (few live windows); descentu = descent + one extra
+    # h3 operand, same chain depth
+    temps = (
+        12 if mode.startswith("ascent")
+        else 6 if mode == "cgmv"
+        else 8
+    )
     best = 0
     for tz in range(2, nz + 1):
         if nz % tz or nz // tz < 2:
@@ -287,10 +314,8 @@ def _pick_tz_mode(nz: int, ny: int, nx: int, mode: str) -> int:
 
 
 def _kernel(
-    coef_ref, zref, p_hbm, d_hbm, b_hbm, dd_hbm, y_hbm, y2_hbm, y3_hbm,
-    ps, ds, bs, dds, ys, zp_buf, acc, tp, td, tb, tdd,
-    sp, sd, sb, sdd, swb, sz, st,
-    *, mode, tz, nz, ny, nx, nyp, pinned, nzg,
+    coef_ref, zref, p_hbm, d_hbm, b_hbm, dd_hbm, *rest,
+    mode, tz, nz, ny, nx, nyp, pinned, nzg,
 ):
     """Gridless pair-pipelined slab loop over 2-D row views.
 
@@ -305,12 +330,17 @@ def _kernel(
     factor of the naive windowed pipeline is gone.  Slab 0's tail (the low
     z-face planes plus nothing else) is fetched by a one-time DMA.
     """
+    n_out = _n_out(mode)
+    # ``rest`` = n_out field outputs + the small dot output, then scratch
+    y_hbms = rest[:n_out]
+    dot_hbm = rest[n_out]
+    (ps, ds, bs, dds, ys, zp_buf, acc, tp, td, tb, tdd,
+     sp, sd, sb, sdd, swb, sz, st) = rest[n_out + 1:]
     nxp = ys.shape[-1]
     rows = tz * nyp
     grid = nz // tz
     i32 = jnp.int32
     halos = _WINDOWS[mode]
-    n_out = 2 if mode in _TWO_OUT else 1
 
     # scalars ride in SMEM (legalizes in gridless kernels — probed; the
     # grid-kernel limitation recorded for round 1 does not apply here) and
@@ -384,7 +414,7 @@ def _kernel(
         return wins
 
     def wb_copy(i, buf, out):
-        hbm = y_hbm if out == 0 else y2_hbm
+        hbm = y_hbms[out]
         return pltpu.make_async_copy(
             ys.at[jnp.int32(out * 2 + buf)],
             hbm.at[pl.ds(i * i32(rows) + i32(FACE * nyp), rows)],
@@ -480,6 +510,22 @@ def _kernel(
             part = jnp.sum(win(p, 1, 0) * w, axis=0, keepdims=True)
             acc[0:1, :] = acc[0:1, :] + part
             return (w,)
+        if mode == "cgmv":
+            # CG top half: p' = z + beta*p (h1, stays zero outside the
+            # domain by linearity — both operands are maintained masked),
+            # w = A p', deferred x' = x + alpha_prev*p, fused <p', A p'>.
+            # Scalar slots: g = beta, ad = alpha_prev.
+            z1 = p                       # primary = z (h1)
+            pold1 = wins["b"]            # p_old (h1)
+            xw = wins["d"]               # x (h0)
+            pn1 = z1 + g * pold1
+            w = mask_dom(apply_a(pn1, diag * win(pn1, 1, 0), 0, i), 0, i)
+            pn0 = win(pn1, 1, 0)
+            xn = xw + ad * win(pold1, 1, 0)
+            acc[0:1, :] = acc[0:1, :] + jnp.sum(
+                pn0 * w, axis=0, keepdims=True
+            )
+            return (w, pn0, xn)
         if mode == "residual":
             w = apply_a(p, diag * win(p, 1, 0), 0, i)
             return (mask_dom(wins["b"] - w, 0, i),)
@@ -538,6 +584,33 @@ def _kernel(
                     b0 * b0, axis=0, keepdims=True
                 )
             return (win(x1_2, 2, 0), s_)
+        if mode == "descentu":
+            # descent_rr with the CG r-update fused in front: the updated
+            # residual r' = r_old - alpha*ap (alpha in the g2 slot) is
+            # formed at h3 — zero outside the domain by linearity (both
+            # operands maintained masked) — carried through the whole
+            # downstroke as b3, and its h0 window written back as a third
+            # output for the next iteration.  The fused dot is <r', r'>.
+            diag3 = diag
+            b3 = p - g2 * wins["b"]                  # r' at h3
+            dinv3 = one / diag3
+            u3 = (s0 * b3) * dinv3                   # pre-smooth 1
+            w1 = apply_a(u3, s0 * win(b3, 3, 2), 2, i)
+            u2 = win(u3, 3, 2)
+            x1_2 = u2 + ad * u2 + g * (
+                (one / win(diag3, 3, 2)) * (win(b3, 3, 2) - w1)
+            )                                        # pre-smooth 2 (h2)
+            x1_2 = mask_dom(x1_2, 2, i)
+            w2 = apply_a(x1_2, win(diag3, 3, 1) * win(x1_2, 2, 1), 1, i)
+            r1 = mask_dom(win(b3, 3, 1) - w2, 1, i)  # residual (h1)
+            u1 = r1 * (one / win(diag3, 3, 1))
+            w3 = apply_a(u1, win(r1, 1, 0), 0, i)    # diag*(D^-1 r) == r
+            s_ = mask_dom(win(r1, 1, 0) - gw * w3, 0, i)
+            rnew0 = mask_dom(win(b3, 3, 0), 0, i)
+            acc[0:1, :] = acc[0:1, :] + jnp.sum(
+                rnew0 * rnew0, axis=0, keepdims=True
+            )
+            return (win(x1_2, 2, 0), s_, rnew0)
         if mode in ("descent1", "descent1_rr"):
             # degree-1 downstroke: pre-smooth(1) + residual + P^T smoothing
             b2, diag2 = p, diag
@@ -605,7 +678,7 @@ def _kernel(
     zp_buf[:] = jnp.zeros_like(zp_buf)
     if mode in _DOT_OUT:
         acc[:] = jnp.zeros_like(acc)
-    for out, hbm in ((0, y_hbm), (1, y2_hbm))[:n_out]:
+    for hbm in y_hbms:
         lo = pltpu.make_async_copy(
             zp_buf, hbm.at[pl.ds(0, FACE * nyp)], sz
         )
@@ -677,8 +750,8 @@ def _kernel(
             wb_copy(i32(grid - 2), (grid - 2) % 2, out).wait()
 
     if mode in _DOT_OUT:
-        # ship the accumulated partial dot sums via the small third output
-        dot_wb = pltpu.make_async_copy(acc, y3_hbm, sz)
+        # ship the accumulated partial dot sums via the small last output
+        dot_wb = pltpu.make_async_copy(acc, dot_hbm, sz)
         dot_wb.start()
         dot_wb.wait()
 
@@ -757,7 +830,7 @@ def fused7_call(
     dd2 = (d_p if "d" in halos else primary).reshape(nzp2 * nyp, nxp)
 
     rows = tz * nyp
-    n_out = 2 if mode in _TWO_OUT else 1
+    n_out = _n_out(mode)
 
     def buf(name):
         if name not in halos and name != "p":
@@ -786,12 +859,11 @@ def fused7_call(
             pl.BlockSpec(memory_space=pl.ANY),      # b (HBM)
             pl.BlockSpec(memory_space=pl.ANY),      # d (HBM)
         ],
-        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
-        out_shape=[
-            jax.ShapeDtypeStruct((nzp2 * nyp, nxp), f32),
-            jax.ShapeDtypeStruct((nzp2 * nyp, nxp), f32),
-            jax.ShapeDtypeStruct((8, nxp), f32),     # fused-dot partials
-        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (n_out + 1),
+        out_shape=(
+            [jax.ShapeDtypeStruct((nzp2 * nyp, nxp), f32)] * n_out
+            + [jax.ShapeDtypeStruct((8, nxp), f32)]  # fused-dot partials
+        ),
         scratch_shapes=[
             buf("p"), buf("diag"), buf("b"), buf("d"),
             pltpu.VMEM((2 * n_out, rows, nxp), f32),     # out staging
@@ -802,7 +874,7 @@ def fused7_call(
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((4,)),               # writebacks
+            pltpu.SemaphoreType.DMA((2 * n_out,)),       # writebacks
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA((4,)),               # tail primes
         ],
@@ -817,16 +889,17 @@ def fused7_call(
         ),
         interpret=interpret,
     )(coef, zinfo, p2, d2, b2, dd2)
-    y = outs[0].reshape(nzp2, nyp, nxp)
-    if mode == "mvdot":
-        return y, jnp.sum(outs[2])
-    if mode in ("ascent_rz", "ascent1_rz"):
-        return y, jnp.sum(outs[2])
+    fields = [outs[i].reshape(nzp2, nyp, nxp) for i in range(n_out)]
+    dot = jnp.sum(outs[n_out]) if mode in _DOT_OUT else None
+    if mode in ("mvdot", "ascent_rz", "ascent1_rz"):
+        return fields[0], dot
     if mode in ("descent_rr", "descent1_rr"):
-        return y, outs[1].reshape(nzp2, nyp, nxp), jnp.sum(outs[2])
+        return fields[0], fields[1], dot
+    if mode in ("cgmv", "descentu"):
+        return (*fields, dot)
     if n_out == 2:
-        return y, outs[1].reshape(nzp2, nyp, nxp)
-    return y
+        return fields[0], fields[1]
+    return fields[0]
 
 
 # ---------------------------------------------------------------------------
@@ -843,6 +916,20 @@ def fused7_xla(mode, op, x_p, b_p, d_p, g, ad, s0, gw=0.0, g2=0.0):
     if mode == "mvdot":
         y = op.mv(x_p)
         return y, jnp.vdot(x_p.reshape(-1), y.reshape(-1))
+    if mode == "cgmv":
+        # x_p = z, b_p = p_old, d_p = x; g = beta, ad = alpha_prev
+        pn = x_p + g * b_p
+        w = op.mv(pn)
+        xn = d_p + ad * b_p
+        return w, pn, xn, jnp.vdot(pn.reshape(-1), w.reshape(-1))
+    if mode == "descentu":
+        # x_p = r_old, b_p = ap; g2 = alpha; then descent math on r'
+        r = x_p - g2 * b_p
+        u = (s0 * r) * dinv
+        x1 = u + ad * u + g * (dinv * (r - op.mv(u)))
+        rr1 = r - op.mv(x1)
+        s = rr1 - gw * op.mv(dinv * rr1)
+        return x1, s, r, jnp.vdot(r.reshape(-1), r.reshape(-1))
     if mode == "residual":
         return b_p - op.mv(x_p)
     if mode == "rich":

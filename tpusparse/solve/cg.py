@@ -92,6 +92,8 @@ def cg(
     check_every: int = 1,
     spectrum: bool = False,
     divtol: float = 1e5,
+    ab_fused: Callable | None = None,
+    m_fused: Callable | None = None,
 ) -> CGResult:
     """Solve A x = b with (preconditioned) CG.
 
@@ -124,6 +126,19 @@ def cg(
     fused preconditioner can accumulate both dots while it already holds r
     in on-chip memory — ``amg.fused_cycle.vcycle_fused_dots``); overrides
     ``m_mv``.
+
+    ``ab_fused(z, p, x, alpha_prev, beta) -> (ap, p_new, x_new, pap)`` and
+    ``m_fused(r, ap, alpha) -> (z, r_new, rz, rr)``, when BOTH given,
+    switch the loop to the FULL-FUSION body: the p-update, the x/r axpys,
+    the operator apply, the preconditioner cycle and all three dots ride
+    inside two composite callables (``PaddedStar.cgmv`` +
+    ``amg.fused_cycle.vcycle_fused_rupdate``), leaving zero standalone XLA
+    vector passes per iteration.  The x update is DEFERRED one iteration
+    (x_k excludes alpha_k*p_k until the next trip; the loop exit adds the
+    last term), which changes no iterate the convergence test ever sees —
+    identical iteration counts up to f32 rounding.  Requires a zero
+    initial guess (x0=None) and is incompatible with state0/return_state/
+    history/spectrum/a_mv_dot/m_mv_dots.
 
     ``check_every`` runs that many CG iterations per convergence check
     (PETSc checks every iteration = the default 1).  On dispatch-latency
@@ -160,6 +175,18 @@ def cg(
         )
     if check_every < 1:
         raise ValueError(f"check_every must be >= 1, got {check_every}")
+    fused = ab_fused is not None and m_fused is not None
+    if (ab_fused is None) != (m_fused is None):
+        raise ValueError("ab_fused and m_fused must be given together")
+    if fused and (
+        x0 is not None or state0 is not None or return_state or history
+        or spectrum or a_mv_dot is not None or m_mv_dots is not None
+    ):
+        raise ValueError(
+            "the full-fusion CG body requires a zero initial guess and is"
+            " incompatible with state0/return_state/history/spectrum/"
+            "a_mv_dot/m_mv_dots"
+        )
     if check_every > 1 and (history or spectrum):
         raise ValueError(
             "check_every > 1 is incompatible with history/spectrum (the"
@@ -178,7 +205,7 @@ def cg(
         else jnp.asarray(jnp.inf, dt)
     )
 
-    if state0 is None:
+    if state0 is None and not fused:
         r0 = b - a_mv(x0)
         if m_mv_dots is not None:
             z0, rz0, rr0 = m_mv_dots(r0)
@@ -214,6 +241,44 @@ def cg(
     def cond(state):
         rnorm, it = state[5], state[6]
         return classify(rnorm, it) == jnp.int32(ConvergedReason.ITERATING)
+
+    if fused:
+        # full-fusion body: deferred-x CG (see docstring).  State appends
+        # (alpha_prev, beta) so the kernels of trip k+1 can retire trip k's
+        # x update and form p = z + beta*p without standalone axpy passes.
+        zero_s = jnp.zeros((), dt)
+        z0, r0, rz0, rr0 = m_fused(b, b, zero_s)  # r0 = b - 0*b = b
+        rnorm0 = jnp.sqrt(rr0)
+
+        def body_f(state):
+            x, r, z, p, rz, _rn, it, a_prev, beta = state
+            ap, p_new, x_new, pap = ab_fused(z, p, x, a_prev, beta)
+            alpha = rz / pap.astype(rz.dtype)
+            z_new, r_new, rz_new, rr = m_fused(r, ap, alpha)
+            beta_new = rz_new / rz
+            return (
+                x_new, r_new, z_new, p_new, rz_new, jnp.sqrt(rr),
+                it + 1, alpha, beta_new,
+            )
+
+        state = (x0, b, z0, z0, rz0, rnorm0, jnp.int32(0), zero_s, zero_s)
+        if check_every > 1:
+            def body_f_many(state):
+                for _ in range(check_every):
+                    state = body_f(state)
+                return state
+
+            out = jax.lax.while_loop(cond, body_f_many, state)
+        else:
+            out = jax.lax.while_loop(cond, body_f, state)
+        # retire the last deferred x update (alpha_prev * p); a zero-trip
+        # exit has alpha_prev = 0, so x stays the zero initial guess
+        x = out[0] + out[7] * out[3]
+        rnorm, it = out[5], out[6]
+        return CGResult(
+            x=x, iters=it, resnorm=rnorm,
+            reason=classify(rnorm, it), bnorm=bnorm,
+        )
 
     def body(state):
         x, r, z, p, rz, _rnorm, it = state[:7]

@@ -88,6 +88,8 @@ def cg_refined(
     inner_maxiter: int = 200,
     m_lo_mv: Callable | None = None,
     m_lo_mv_dots: Callable | None = None,
+    ab_fused: Callable | None = None,
+    m_fused: Callable | None = None,
     check_every: int = 1,
     lo_dtype=jnp.float32,
     encode: Callable | None = None,
@@ -129,7 +131,12 @@ def cg_refined(
             0.25 * tol / rnorm, inner_rtol, 0.5
         ).astype(jnp.float32)
         kw = {}
-        if m_lo_mv_dots is not None:
+        if ab_fused is not None and m_fused is not None:
+            # full-fusion CG body (cg-only): overrides the dot-fused
+            # preconditioner interface entirely
+            kw["ab_fused"] = ab_fused
+            kw["m_fused"] = m_fused
+        elif m_lo_mv_dots is not None:
             kw["m_mv_dots"] = m_lo_mv_dots  # cg-only fused-dot interface
         if check_every != 1:
             kw["check_every"] = check_every
@@ -225,6 +232,8 @@ def cg_refined_tf(
     inner_maxiter: int = 200,
     m_lo_mv: Callable | None = None,
     m_lo_mv_dots: Callable | None = None,
+    ab_fused: Callable | None = None,
+    m_fused: Callable | None = None,
     check_every: int = 1,
     encode: Callable | None = None,
     decode: Callable | None = None,
@@ -269,7 +278,12 @@ def cg_refined_tf(
         # adaptive inner tolerance (see cg_refined.inner)
         need = jnp.clip(0.25 * tol / rnorm, inner_rtol, 0.5)
         kw = {}
-        if m_lo_mv_dots is not None:
+        if ab_fused is not None and m_fused is not None:
+            # full-fusion CG body (cg-only): overrides the dot-fused
+            # preconditioner interface entirely
+            kw["ab_fused"] = ab_fused
+            kw["m_fused"] = m_fused
+        elif m_lo_mv_dots is not None:
             kw["m_mv_dots"] = m_lo_mv_dots  # cg-only fused-dot interface
         if check_every != 1:
             kw["check_every"] = check_every

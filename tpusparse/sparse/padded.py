@@ -190,6 +190,28 @@ class PaddedStar:
         y = self._mv_xla(x_p)
         return y, jnp.vdot(x_p.reshape(-1), y.reshape(-1))
 
+    def cgmv(self, z_p, p_p, x_p, alpha_prev, beta):
+        """The CG iteration's top half in ONE kernel pass
+        (kernels/fused7.py 'cgmv'): returns ``(ap, p_new, x_new, pap)``
+        where ``p_new = z + beta*p``, ``ap = A p_new``,
+        ``x_new = x + alpha_prev*p`` (the DEFERRED x update of the
+        full-fusion CG body — see solve/cg.py) and ``pap = <p_new, ap>``.
+        Replaces the p-update axpy + mv + <p,Ap> dot + half the x/r axpy
+        pass of the standard body.  XLA fallback elsewhere."""
+        if self._use_pallas():
+            from tpusparse.kernels.fused7 import fused7_call
+
+            zero = jnp.zeros((), jnp.float32)
+            return fused7_call(
+                "cgmv", self.diag, self.cx, self.cy, self.cz, z_p, p_p,
+                x_p, beta, alpha_prev, zero, shape=self.true_shape,
+                pinned=self.pinned, interpret=(self.backend == "interpret"),
+            )
+        pn = z_p + beta * p_p
+        w = self._mv_xla(pn)
+        xn = x_p + alpha_prev * p_p
+        return w, pn, xn, jnp.vdot(pn.reshape(-1), w.reshape(-1))
+
     def __matmul__(self, x):
         return self.mv(x)
 
