@@ -175,6 +175,83 @@ void csr_transpose(int64_t n_rows, int64_t n_cols, const int64_t* indptr,
   }
 }
 
+// Reverse Cuthill-McKee ordering — the bandwidth-reduction pass that turns
+// arbitrary-sparsity CSR into the bounded-band world the TPU executors
+// need (sparse/bandell.py windows, sparse/dia.py offsets).  Role parity:
+// the reference's patched MatMult_SeqAIJ handles ANY row structure
+// (/root/reference/src/openacc-step1/MatMult_SeqAIJ.patch:19-30); on TPU
+// the equivalent generality comes from reorder + banded executor, because
+// large scattered gathers are the one thing the hardware cannot stream.
+//
+// Assumes a structurally symmetric pattern (true for the FDM/FEM problem
+// families; callers symmetrize otherwise).  perm[new] = old.  BFS from a
+// pseudo-peripheral start per component (two-sweep George-Liu heuristic),
+// neighbors visited in increasing-degree order, final order reversed.
+void rcm_order(int64_t n, const int64_t* indptr, const int32_t* indices,
+               int64_t* perm) {
+  std::vector<int64_t> deg(n);
+  for (int64_t i = 0; i < n; ++i) deg[i] = indptr[i + 1] - indptr[i];
+  std::vector<uint8_t> vis(n, 0);
+  std::vector<int64_t> order;
+  order.reserve(n);
+  std::vector<int64_t> q;     // BFS queue (reused)
+  std::vector<int64_t> nbrs;  // per-node neighbor scratch
+
+  auto bfs = [&](int64_t start, std::vector<uint8_t>& mark,
+                 std::vector<int64_t>& out) -> int64_t {
+    // BFS in degree-sorted neighbor order; returns index where the last
+    // level begins in `out`
+    out.clear();
+    out.push_back(start);
+    mark[start] = 1;
+    size_t head = 0;
+    size_t level_begin = 0, level_end = 1;
+    while (head < out.size()) {
+      if (head == level_end) {
+        level_begin = level_end;
+        level_end = out.size();
+      }
+      const int64_t u = out[head++];
+      nbrs.clear();
+      for (int64_t p = indptr[u]; p < indptr[u + 1]; ++p) {
+        const int64_t v = indices[p];
+        if (!mark[v]) {
+          mark[v] = 1;
+          nbrs.push_back(v);
+        }
+      }
+      std::sort(nbrs.begin(), nbrs.end(), [&](int64_t a, int64_t b) {
+        return deg[a] != deg[b] ? deg[a] < deg[b] : a < b;
+      });
+      for (const int64_t v : nbrs) out.push_back(v);
+    }
+    if (level_end < out.size()) level_begin = level_end;
+    return static_cast<int64_t>(level_begin);
+  };
+
+  std::vector<uint8_t> tmp_mark(n, 0);
+  std::vector<int64_t> sweep;
+  sweep.reserve(n);
+  for (int64_t s = 0; s < n; ++s) {
+    if (vis[s]) continue;
+    // pseudo-peripheral start: BFS from s, restart from a min-degree node
+    // of the last level (one extra sweep is enough in practice)
+    std::fill(tmp_mark.begin(), tmp_mark.end(), uint8_t{0});
+    int64_t last = bfs(s, tmp_mark, sweep);
+    int64_t start = sweep[last];
+    for (size_t i = last; i < sweep.size(); ++i) {
+      if (deg[sweep[i]] < deg[start]) start = sweep[i];
+    }
+    // the component's nodes are exactly those reached by the probe sweep;
+    // un-mark them for the real pass
+    for (const int64_t v : sweep) tmp_mark[v] = 0;
+    bfs(start, vis, q);
+    order.insert(order.end(), q.begin(), q.end());
+  }
+  // RCM = reversed Cuthill-McKee
+  for (int64_t i = 0; i < n; ++i) perm[i] = order[n - 1 - i];
+}
+
 // 7-point Poisson assembly (reference generateA, src/helper.cpp:161-246):
 // all-Neumann via dropped entries absorbed into the diagonal, natural
 // (k, j, i) ordering, sorted columns.  Writes a fixed-width-7 CSR directly.

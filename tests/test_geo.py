@@ -56,6 +56,16 @@ def test_infer_grid3d_27point():
     assert got == (nz, ny, nx)
 
 
+def test_infer_grid3d_rejects_solid_bands():
+    """An RCM-reordered scattered matrix has a SOLID offset interval; a
+    small-nx factorization decomposes every such offset "validly", so the
+    clustering gate must reject it (regression: a false (56, 7, 7) on a
+    reordered 14^3 Poisson crashed the geo setup)."""
+    n = 2744  # 14^3 = 56*7*7
+    band = tuple(range(-150, 151))
+    assert infer_grid3d(band, n) is None
+
+
 def test_infer_grid3d_rejects_non_grids():
     assert infer_grid3d((-1, 0, 1), 100) is None           # tridiagonal
     assert infer_grid3d((0, 5, -5, 1, -1), 99) is None     # 99 % 5 != 0

@@ -60,6 +60,19 @@ def infer_grid3d(
     pos = [o for o in offs if o > 0]
     if len(pos) < 2 or pos[0] != 1:
         return None
+    # Grid stars are CLUSTERED offset sets: each (dz, dy) plane contributes
+    # a run of at most 2*max_reach+1 consecutive dx values.  A solid banded
+    # pattern (e.g. an RCM-reordered scattered matrix, whose offsets fill
+    # an interval) can decompose "validly" under a small-nx factorization —
+    # every integer below reach*(q+nx+1) does — so a long contiguous run is
+    # a band, never a grid.  (Found by a false (56, 7, 7) inference on an
+    # RCM-reordered 14^3 Poisson — which then crashed the geo setup.)
+    run = longest = 1
+    for a, b_ in zip(pos, pos[1:]):
+        run = run + 1 if b_ == a + 1 else 1
+        longest = max(longest, run)
+    if longest > 2 * max_reach + 1:
+        return None
 
     def decompose(o, nx, q):
         """o -> (dz, dy, dx) under strides (q, nx, 1), nearest rounding."""

@@ -101,6 +101,12 @@ class Options:
     # structured executor.  1 = on (default), 0 = always the general
     # banded path (the pure general-executor benchmark mode).
     mat_structure_detect: int = 1
+    # -mat_reorder (sparse/reorder.py): bandwidth-reducing RCM permutation
+    # for assembled matrices whose natural ordering defeats the banded
+    # executors.  auto = reorder only when needed (default), rcm = always,
+    # none = never (MatOrderingType parity: PETSc -pc_factor_mat_ordering_
+    # type rcm / MatGetOrdering).
+    mat_reorder: str = "auto"
     dtype: str = "float64"
     devices: int = 1                # mesh size (z-sharded)
     precision: str = "mixed"        # mixed | tf | f64 | f32 (bench/driver.py)
@@ -197,6 +203,7 @@ class Options:
                 f" path) or 'aij' (general assembled CSR, MATAIJ parity)"
             )
         degrade("pc_type", ("gamg", "jacobi", "sor", "bjacobi", "none"), "gamg")
+        degrade("mat_reorder", ("auto", "rcm", "none"), "auto")
         degrade("pc_gamg_aggregation",
                 ("auto", "geometric", "greedy", "banded"), "auto")
         degrade("pc_gamg_type", ("agg",), "agg")

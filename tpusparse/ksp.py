@@ -64,15 +64,24 @@ class KSPResult:
 def _op_kind(op) -> str:
     """'structured' (star-stencil family), 'general' (assembled banded
     containers), or 'opaque' (anything with an ``mv``)."""
+    from tpusparse.sparse.bandell import BandedELL
     from tpusparse.sparse.dia import DFDIA, DIA, HybridDIA
     from tpusparse.sparse.padded import PaddedStar
     from tpusparse.sparse.stencil import StarStencil3D, StarStencilDF
 
     if isinstance(op, (StarStencil3D, StarStencilDF, PaddedStar)):
         return "structured"
-    if isinstance(op, (DIA, HybridDIA, DFDIA)):
+    if isinstance(op, (DIA, HybridDIA, DFDIA, BandedELL)):
         return "general"
     return "opaque"
+
+
+def _dia_eligible(a) -> bool:
+    """True when the HostCSR's natural ordering fits the DIA family
+    (<= 192 occupied diagonals — sparse/dia.py's storage gate)."""
+    from tpusparse.sparse.reorder import distinct_diagonals
+
+    return distinct_diagonals(a) <= 192
 
 
 def _cast_floating(op, dtype):
@@ -121,6 +130,7 @@ class KSP:
         richardson_scale: float = 1.0,
         layout: str = "auto",
         error_if_not_converged: bool = False,
+        mat_reorder: str = "auto",
     ):
         from tpusparse.amg import AMGParams
         from tpusparse.bench.driver import _pick_ksp
@@ -133,6 +143,8 @@ class KSP:
             raise ValueError(f"unknown mg_cycle {mg_cycle!r}")
         if layout not in ("auto", "padded", "plain"):
             raise ValueError(f"unknown layout {layout!r}")
+        if mat_reorder not in ("auto", "rcm", "none"):
+            raise ValueError(f"unknown mat_reorder {mat_reorder!r}")
         self.ksp_type = ksp_type
         self.pc_type = pc_type
         self.rtol = rtol
@@ -145,6 +157,14 @@ class KSP:
         self.reuse_preconditioner = reuse_preconditioner
         self.layout = layout
         self.error_if_not_converged = error_if_not_converged
+        # -mat_reorder: bandwidth-reducing row/col permutation for
+        # assembled host matrices (sparse/reorder.py).  "auto" reorders
+        # only when the natural ordering defeats every gather-free
+        # container; "rcm" forces it; "none" disables (a matrix that then
+        # needs it fails with the DIA diagonal-count error).
+        self.mat_reorder = mat_reorder
+        self._perm = None        # reordering permutation (perm[new] = old)
+        self._iperm = None
         # resolved solver callable (validates ksp_type eagerly, like
         # KSPSetType)
         self._ksp_solve = _pick_ksp(
@@ -181,6 +201,7 @@ class KSP:
             gmres_restart=opts.ksp_gmres_restart,
             richardson_scale=opts.ksp_richardson_scale,
             layout=opts.layout,
+            mat_reorder=opts.mat_reorder,
         )
 
     # -- KSPSetOperators ---------------------------------------------------
@@ -205,6 +226,8 @@ class KSP:
         from tpusparse.sparse.csr import HostCSR
 
         self._host_a = None
+        self._perm = None
+        self._iperm = None
         if isinstance(a, HostCSR) or not hasattr(a, "mv"):
             # host matrix: HostCSR or anything scipy can make a CSR of
             from tpusparse.sparse.dia import DIA
@@ -213,24 +236,59 @@ class KSP:
                 import scipy.sparse as sp
 
                 a = HostCSR.from_scipy(sp.csr_matrix(a))
+            # -mat_reorder: arbitrary-sparsity matrices (the reference's
+            # MatMult_SeqAIJ contract is ANY CSR) get a bandwidth-reducing
+            # RCM permutation so a gather-free / window-gather container
+            # exists; the solve then runs in permuted space and solve()
+            # unpermutes x (sparse/reorder.py).  "auto" reorders only when
+            # the natural ordering already defeats the DIA family.
+            if self.mat_reorder == "rcm" or (
+                self.mat_reorder == "auto" and not _dia_eligible(a)
+            ):
+                from tpusparse.sparse.reorder import (
+                    inverse_permutation,
+                    permute_csr,
+                    rcm_permutation,
+                )
+
+                perm = rcm_permutation(a)
+                a = permute_csr(a, perm)
+                self._perm = jnp.asarray(perm)
+                self._iperm = jnp.asarray(inverse_permutation(perm))
             self._host_a = a
             mixed = self.precision == "mixed"
-            if mixed:
-                # one f32 upload serves both precisions (the driver's
-                # DFDIA trick): f32 bands are the hierarchy fine operator
-                # AND the hi half of the two-float outer operator
-                from tpusparse.sparse.dia import DFDIA
+            if _dia_eligible(a):
+                if mixed:
+                    # one f32 upload serves both precisions (the driver's
+                    # DFDIA trick): f32 bands are the hierarchy fine
+                    # operator AND the hi half of the two-float outer
+                    # operator
+                    from tpusparse.sparse.dia import DFDIA
 
-                bands64, offsets, shp = DIA.host_bands(a)
-                bands32 = jax.device_put(bands64.astype(np.float32))
-                a_lo = DIA(bands=bands32, offsets=offsets, shape=shp)
-                a = DFDIA.from_host_bands(
-                    bands64, offsets, shp, hi_dev=bands32
-                )
+                    bands64, offsets, shp = DIA.host_bands(a)
+                    bands32 = jax.device_put(bands64.astype(np.float32))
+                    a_lo = DIA(bands=bands32, offsets=offsets, shape=shp)
+                    a = DFDIA.from_host_bands(
+                        bands64, offsets, shp, hi_dev=bands32
+                    )
+                else:
+                    dt = np.float32 if self.precision == "f32" else None
+                    a = DIA.from_csr(a, dtype=dt)
+                    a_lo = a
             else:
-                dt = np.float32 if self.precision == "f32" else None
-                a = DIA.from_csr(a, dtype=dt)
-                a_lo = a
+                # bounded bandwidth (possibly after RCM) but too many
+                # distinct diagonals for DIA: the segmented banded-ELL
+                # executor — window-local gathers only, crash-free at any
+                # row count (sparse/bandell.py)
+                from tpusparse.sparse.bandell import BandedELL
+
+                if mixed:
+                    a_lo = BandedELL.from_csr(a, dtype=np.float32)
+                    a = BandedELL.from_csr(a, dtype=np.float64)
+                else:
+                    dt = np.float32 if self.precision == "f32" else None
+                    a = BandedELL.from_csr(a, dtype=dt)
+                    a_lo = a
         self._op = a
         if a_lo is not None:
             self._op_lo = a_lo
@@ -517,6 +575,15 @@ class KSP:
         system A dx = b - A x0 so every solver/precision mode supports it.
         """
         self.setup()
+        if self._perm is not None:
+            # solve in RCM-permuted space: P A P^T (P x) = P b.  One
+            # top-level take each way (outside every solver loop — the
+            # libtpu gather hazard is loop-context only); the similarity
+            # transform leaves the spectrum and hence the iteration
+            # sequence untouched.
+            b = jnp.take(b.reshape(-1), self._perm)
+            if x0 is not None:
+                x0 = jnp.take(x0.reshape(-1), self._perm)
         # structured operators apply on the 3-D field view; accept flat
         # vectors and answer in kind
         flat_in = False
@@ -539,6 +606,8 @@ class KSP:
                 self._jitted = self._build_solve()
             res = self._jitted(self._op, self._op_lo, self._pc_state, b)
         x = res.x if x0 is None else res.x + x0
+        if self._perm is not None:
+            x = jnp.take(x.reshape(-1), self._iperm)
         if flat_in:
             x = x.reshape(-1)
         out = KSPResult(

@@ -92,6 +92,8 @@ def lib() -> ctypes.CDLL | None:
         ctypes.c_double, _I64P, _I32P, _F64P,
     ]
     L.assemble_poisson7.restype = None
+    L.rcm_order.argtypes = [c_i64, _I64P, _I32P, _I64P]
+    L.rcm_order.restype = None
     _lib = L
     return _lib
 
@@ -191,6 +193,26 @@ def aggregate(a, strong: np.ndarray) -> tuple[np.ndarray, int]:
     agg = np.empty(a.n_rows, np.int64)
     n_agg = L.greedy_aggregate(a.n_rows, ip, ix, s, agg)
     return agg, int(n_agg)
+
+
+def rcm(a) -> np.ndarray:
+    """Reverse Cuthill-McKee ordering of a HostCSR's graph: perm int64[n]
+    with perm[new] = old, minimizing the bandwidth of A[perm][:, perm].
+    Assumes a structurally symmetric pattern (symmetrize first otherwise).
+    scipy.sparse.csgraph fallback when the native library is absent."""
+    L = lib()
+    if L is None:
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+        return np.asarray(
+            reverse_cuthill_mckee(a.to_scipy(), symmetric_mode=True),
+            np.int64,
+        )
+    ip = np.ascontiguousarray(a.indptr, np.int64)
+    ix = np.ascontiguousarray(a.indices, np.int32)
+    perm = np.empty(a.n_rows, np.int64)
+    L.rcm_order(a.n_rows, ip, ix, perm)
+    return perm
 
 
 def assemble_poisson7(nx: int, ny: int, nz: int, dx: float, dy: float,

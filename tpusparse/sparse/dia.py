@@ -447,13 +447,23 @@ def auto_container(
     itemsize = np_.dtype(dtype or csr.data.dtype).itemsize
     need = k_distinct * n * itemsize
     if need > dia_budget_bytes:
-        raise ValueError(
-            f"level operator has {n} rows (> gather cap {gather_row_cap}) "
-            f"over {k_distinct} diagonals; gather-free DIA storage would "
-            f"need {need / 2**30:.1f} GiB > budget "
-            f"{dia_budget_bytes / 2**30:.1f} GiB — coarsen harder "
-            f"(aggressive_coarsening) or raise dia_budget_bytes"
-        )
+        # widened-DIA storage infeasible: fall back to the segmented
+        # banded-ELL executor — window-local gathers only (each operand
+        # <= its segment window, far below the crash cap), O(nnz) storage,
+        # any row count.  Needs bounded bandwidth; callers with scattered
+        # patterns reorder first (sparse/reorder.py, ksp mat_reorder).
+        from tpusparse.sparse.bandell import BandedELL
+
+        try:
+            return BandedELL.from_csr(csr, dtype=dtype)
+        except ValueError as e:
+            raise ValueError(
+                f"level operator has {n} rows (> gather cap"
+                f" {gather_row_cap}) over {k_distinct} diagonals; widened"
+                f" DIA would need {need / 2**30:.1f} GiB > budget"
+                f" {dia_budget_bytes / 2**30:.1f} GiB and the segmented"
+                f" executor refused: {e}"
+            ) from e
     return DIA.from_csr(
         csr, max_offsets=k_distinct, dtype=dtype, device=device
     )
