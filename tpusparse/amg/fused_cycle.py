@@ -32,21 +32,42 @@ def fused_fine_supported(hier: Hierarchy) -> bool:
     (degree-2 composites, or the degree-1 variants for the verbatim
     reference config's Richardson(1) smoother)."""
     lev = hier.levels[0]
+    sm0, dg0 = hier.level_cfg(0)
     return (
         isinstance(lev.op, PaddedStar)
         and isinstance(lev.transfer, PaddedTransfer)
-        and hier.smoother in ("chebyshev", "richardson")
-        and hier.degree in (1, 2)
+        and sm0 in ("chebyshev", "richardson")
+        and dg0 in (1, 2)
         and jnp.dtype(lev.op.dtype) == jnp.float32
-        # a threshold-filtered P-smoothing operator (transfer.fop) cannot
-        # ride the fused kernels: their gw passes bake the FULL stencil
-        and getattr(lev.transfer.inner, "fop", None) is None
+        # a threshold-filtered P-smoothing operator (transfer.fop) rides
+        # the fused kernels via per-axis leg overrides (fused7's flegs
+        # scalars) when it is the star form _filtered_op produces —
+        # scalar legs, same diag.  Variable-coefficient filters
+        # (VarStencil27) still decline to the XLA cycle.
+        and _flegs_ok(getattr(lev.transfer.inner, "fop", None))
     )
+
+
+def _flegs_ok(fop) -> bool:
+    return fop is None or (
+        hasattr(fop, "cx") and getattr(fop, "coef", None) is None
+        and jnp.ndim(fop.cx) == 0
+    )
+
+
+def _flegs_of(inner):
+    """(fcx, fcy, fcz) f32 leg overrides from the transfer's filtered
+    operator, or None for the unfiltered default."""
+    fop = getattr(inner, "fop", None)
+    if fop is None:
+        return None
+    f32 = jnp.float32
+    return (fop.cx.astype(f32), fop.cy.astype(f32), fop.cz.astype(f32))
 
 
 def _modes(hier: Hierarchy) -> tuple[str, str]:
     return (
-        ("descent", "ascent") if hier.degree == 2
+        ("descent", "ascent") if hier.level_cfg(0)[1] == 2
         else ("descent1", "ascent1")
     )
 
@@ -55,7 +76,7 @@ def cg_fusion_supported(hier: Hierarchy) -> bool:
     """True when the full-fusion CG body can run: the fused fine level is
     available AND degree-2 (the 'descentu' downstroke-with-r-update kernel
     has no degree-1 twin; degree-1 configs keep the dot-fused cycle)."""
-    return fused_fine_supported(hier) and hier.degree == 2
+    return fused_fine_supported(hier) and hier.level_cfg(0)[1] == 2
 
 
 def preflight(
@@ -102,10 +123,11 @@ def _fine_scalars(hier: Hierarchy, lev):
     Degree 1 uses only the g slot (one sweep: richardson damping, or
     chebyshev's 1/theta)."""
     f32 = jnp.float32
-    if hier.smoother == "richardson":
+    smoother, degree = hier.level_cfg(0)
+    if smoother == "richardson":
         w = hier.damping.astype(f32)
         return w, jnp.zeros((), f32), w
-    if hier.degree == 1:
+    if degree == 1:
         rho = lev.rho.astype(f32)
         theta = 0.5 * (hier.cheby_hi * rho + hier.cheby_lo * rho)
         s0 = (1.0 / theta).astype(f32)
@@ -179,19 +201,21 @@ def vcycle_fused_rupdate(hier: Hierarchy, r_p, ap_p, alpha, gamma: int = 1):
     interpret = op.backend == "interpret"
     alpha = jnp.asarray(alpha, jnp.float32)
 
+    flegs = _flegs_of(inner)
     if op._use_pallas():
         from tpusparse.kernels.fused7 import fused7_call
 
         x1, s, r_new, rr = fused7_call(
             "descentu", op.diag, op.cx, op.cy, op.cz, r_p, ap_p, r_p,
             g, ad, s0, shape=shape, pinned=op.pinned,
-            interpret=interpret, gw=gw, g2=alpha,
+            interpret=interpret, gw=gw, g2=alpha, flegs=flegs,
         )
     else:
         from tpusparse.kernels.fused7 import fused7_xla
 
         x1, s, r_new, rr = fused7_xla(
-            "descentu", op, r_p, ap_p, r_p, g, ad, s0, gw=gw, g2=alpha
+            "descentu", op, r_p, ap_p, r_p, g, ad, s0, gw=gw, g2=alpha,
+            fop=inner.fop,
         )
     r_c = tr.tT_apply_padded(s)
 
@@ -205,11 +229,12 @@ def vcycle_fused_rupdate(hier: Hierarchy, r_p, ap_p, alpha, gamma: int = 1):
         z, rz = fused7_call(
             "ascent_rz", op.diag, op.cx, op.cy, op.cz, t, r_new, x1,
             s0, ad, s0, shape=shape, pinned=op.pinned,
-            interpret=interpret, gw=gw, g2=g,
+            interpret=interpret, gw=gw, g2=g, flegs=flegs,
         )
     else:
         z, rz = fused7_xla(
-            "ascent_rz", op, t, r_new, x1, s0, ad, s0, gw=gw, g2=g
+            "ascent_rz", op, t, r_new, x1, s0, ad, s0, gw=gw, g2=g,
+            fop=inner.fop,
         )
     return z, r_new, rz, rr
 
@@ -256,17 +281,19 @@ def _vcycle_fused_impl(hier: Hierarchy, b_p, gamma: int, with_dots: bool):
     # scalar-slot assignment per mode (see fused7 kernel): descent uses
     # s0 (pre step 1), ad+g (pre step 2), gw; ascent uses gw, g-slot for
     # post step 1 (the 1/theta scale, i.e. s0 here) and ad+g2 for step 2.
+    flegs = _flegs_of(inner)
     if op._use_pallas():
         def call(mode, x_p, d_p, g_slot, g2_slot):
             return fused7_call(
                 mode, op.diag, op.cx, op.cy, op.cz, x_p, b_p, d_p,
                 g_slot, ad, s0, shape=shape, pinned=op.pinned,
-                interpret=interpret, gw=gw, g2=g2_slot,
+                interpret=interpret, gw=gw, g2=g2_slot, flegs=flegs,
             )
     else:
         def call(mode, x_p, d_p, g_slot, g2_slot):
             return fused7_xla(
-                mode, op, x_p, b_p, d_p, g_slot, ad, s0, gw=gw, g2=g2_slot
+                mode, op, x_p, b_p, d_p, g_slot, ad, s0, gw=gw,
+                g2=g2_slot, fop=inner.fop,
             )
 
     # downstroke: pre-smooth + residual + P^T-smoothing pass, fused

@@ -356,6 +356,13 @@ def _kernel(
     s0 = coef_ref[5, 0]
     gw = coef_ref[6, 0]
     g2 = coef_ref[7, 0]
+    # filtered-operator legs for the P-smoothing passes only
+    # (-pc_gamg_threshold semicoarsening zeroes weak-axis legs in the
+    # prolongator smoother; the residual/relaxation passes keep the full
+    # stencil).  Callers without a filter pass the full legs here.
+    fcx = coef_ref[8, 0]
+    fcy = coef_ref[9, 0]
+    fcz = coef_ref[10, 0]
     # global-z placement (sharded operation): this block owns GLOBAL domain
     # planes [z0, z0 + nz) of a [0, nzg) grid; its z-face halo planes hold
     # refreshed neighbor data (not out-of-domain zeros) unless they fall
@@ -457,10 +464,12 @@ def _kernel(
         ok = (kg >= 0) & (kg < i32(nzg)) & (jj < ny) & (ii < nx)
         return jnp.where(ok, v, zero)
 
-    def apply_a(u, center, h_out, i):
+    def apply_a(u, center, h_out, i, legs=None):
         """w = A u on the h_out-halo window; ``u`` must carry h_out+1 halos
         and be zero outside the domain; ``center`` is the precomputed
-        diagonal term on the h_out window."""
+        diagonal term on the h_out window.  ``legs`` overrides the off-
+        diagonal coefficients (the filtered P-smoothing operator)."""
+        a_x, a_y, a_z = legs if legs is not None else (cx, cy, cz)
         R = rlen(h_out)
         cur = u[nyp:nyp + R]
         dn = u[0:R]
@@ -487,7 +496,7 @@ def _kernel(
             xm = jnp.where((kg == 0) & (jj == 0) & (ii == 1), zero, xm)
             ym = jnp.where((kg == 0) & (jj == 1) & (ii == 0), zero, ym)
             zm = jnp.where((kg == 1) & (jj == 0) & (ii == 0), zero, zm)
-        w = center + cx * (xp + xm) + cy * (yp + ym) + cz * (zp + zm)
+        w = center + a_x * (xp + xm) + a_y * (yp + ym) + a_z * (zp + zm)
         if pinned:
             origin = (kg == 0) & (jj == 0) & (ii == 0)
             w = jnp.where(origin, center, w)
@@ -531,10 +540,13 @@ def _kernel(
             return (mask_dom(wins["b"] - w, 0, i),)
         if mode == "restrict":
             u = p * (one / diag)                     # D^-1 r on h1
-            w = apply_a(u, win(p, 1, 0), 0, i)       # diag*(D^-1 r) == r
+            w = apply_a(u, win(p, 1, 0), 0, i, legs=(fcx, fcy, fcz))
+            # (center: diag*(D^-1 r) == r — the filter keeps the diagonal)
             return (mask_dom(win(p, 1, 0) - g * w, 0, i),)
         if mode == "prolong":
-            w = apply_a(p, diag * win(p, 1, 0), 0, i)
+            w = apply_a(
+                p, diag * win(p, 1, 0), 0, i, legs=(fcx, fcy, fcz)
+            )
             return (
                 mask_dom(win(p, 1, 0) - g * ((one / diag) * w), 0, i),
             )
@@ -574,7 +586,9 @@ def _kernel(
             w2 = apply_a(x1_2, win(diag3, 3, 1) * win(x1_2, 2, 1), 1, i)
             r1 = mask_dom(win(b3, 3, 1) - w2, 1, i)  # residual (h1)
             u1 = r1 * (one / win(diag3, 3, 1))
-            w3 = apply_a(u1, win(r1, 1, 0), 0, i)    # diag*(D^-1 r) == r
+            w3 = apply_a(
+                u1, win(r1, 1, 0), 0, i, legs=(fcx, fcy, fcz)
+            )                                        # diag*(D^-1 r) == r
             s_ = mask_dom(win(r1, 1, 0) - gw * w3, 0, i)
             if mode == "descent_rr":
                 # fused <b, b> (CG's ||r||^2) — domain-only: the h0 window
@@ -604,7 +618,9 @@ def _kernel(
             w2 = apply_a(x1_2, win(diag3, 3, 1) * win(x1_2, 2, 1), 1, i)
             r1 = mask_dom(win(b3, 3, 1) - w2, 1, i)  # residual (h1)
             u1 = r1 * (one / win(diag3, 3, 1))
-            w3 = apply_a(u1, win(r1, 1, 0), 0, i)    # diag*(D^-1 r) == r
+            w3 = apply_a(
+                u1, win(r1, 1, 0), 0, i, legs=(fcx, fcy, fcz)
+            )                                        # diag*(D^-1 r) == r
             s_ = mask_dom(win(r1, 1, 0) - gw * w3, 0, i)
             rnew0 = mask_dom(win(b3, 3, 0), 0, i)
             acc[0:1, :] = acc[0:1, :] + jnp.sum(
@@ -619,7 +635,9 @@ def _kernel(
             w1 = apply_a(x1_2, win(diag2, 2, 1) * win(x1_2, 2, 1), 1, i)
             r1 = mask_dom(win(b2, 2, 1) - w1, 1, i)
             u1 = r1 * (one / win(diag2, 2, 1))
-            w2 = apply_a(u1, win(r1, 1, 0), 0, i)     # diag*(D^-1 r) == r
+            w2 = apply_a(
+                u1, win(r1, 1, 0), 0, i, legs=(fcx, fcy, fcz)
+            )                                         # diag*(D^-1 r) == r
             s_ = mask_dom(win(r1, 1, 0) - gw * w2, 0, i)
             if mode == "descent1_rr":
                 b0 = mask_dom(win(b2, 2, 0), 0, i)
@@ -632,7 +650,10 @@ def _kernel(
             t2, diag1 = p, diag
             x1_1 = wins["d"]
             b0 = wins["b"]
-            wt = apply_a(t2, win(diag1, 1, 1) * win(t2, 2, 1), 1, i)
+            wt = apply_a(
+                t2, win(diag1, 1, 1) * win(t2, 2, 1), 1, i,
+                legs=(fcx, fcy, fcz),
+            )
             x2_1 = mask_dom(
                 x1_1 + win(t2, 2, 1)
                 - gw * ((one / win(diag1, 1, 1)) * wt), 1, i
@@ -653,7 +674,10 @@ def _kernel(
             x1_2 = wins["d"]
             b1 = wins["b"]
             dinv2 = one / diag2
-            wt = apply_a(t3, win(diag2, 2, 2) * win(t3, 3, 2), 2, i)
+            wt = apply_a(
+                t3, win(diag2, 2, 2) * win(t3, 3, 2), 2, i,
+                legs=(fcx, fcy, fcz),
+            )
             x2_2 = mask_dom(
                 x1_2 + win(t3, 3, 2) - gw * (dinv2 * wt), 2, i
             )                                        # prolong-smooth + add
@@ -757,10 +781,11 @@ def _kernel(
 
 
 def _coef_smem(vals, dtype):
-    """(8, 1) SMEM scalar block: cx, cy, cz, g, ad, s0, gw, g2."""
+    """(12, 1) SMEM scalar block: cx, cy, cz, g, ad, s0, gw, g2, fcx, fcy,
+    fcz, pad."""
     return jnp.stack(
         [jnp.asarray(c, dtype).reshape(()) for c in vals]
-    ).reshape(8, 1)
+    ).reshape(12, 1)
 
 
 @functools.partial(
@@ -784,6 +809,7 @@ def fused7_call(
     tz_override: int | None = None,
     z0=0,
     nzg: int | None = None,
+    flegs=None,
 ):
     """Invoke one fused kernel.  All fields in the padded layout
     (``padded_shape(shape)``); pass ``x_p`` for unused operands (they are
@@ -814,7 +840,13 @@ def fused7_call(
             f"{padded_shape(shape)}"
         )
     f32 = jnp.float32
-    coef = _coef_smem((cx, cy, cz, g, ad, s0, gw, g2), f32)
+    # filtered-operator legs for the P-smoothing passes
+    # (-pc_gamg_threshold semicoarsening; transfer.fop) — default: the
+    # full stencil, i.e. no filtering
+    fcx, fcy, fcz = flegs if flegs is not None else (cx, cy, cz)
+    coef = _coef_smem(
+        (cx, cy, cz, g, ad, s0, gw, g2, fcx, fcy, fcz, 0.0), f32
+    )
     nzg = nz if nzg is None else int(nzg)
     zinfo = jnp.asarray(z0, jnp.int32).reshape(1, 1)
     halos = _WINDOWS[mode]
@@ -852,7 +884,7 @@ def fused7_call(
     outs = pl.pallas_call(
         kernel,
         in_specs=[
-            pl.BlockSpec((8, 1), memory_space=pltpu.SMEM),  # scalars
+            pl.BlockSpec((12, 1), memory_space=pltpu.SMEM),  # scalars
             pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),  # z0 (global z)
             pl.BlockSpec(memory_space=pl.ANY),      # primary (HBM)
             pl.BlockSpec(memory_space=pl.ANY),      # diag (HBM)
@@ -907,10 +939,16 @@ def fused7_call(
 # These pin down kernel semantics in tests and serve as the CPU fallback.
 # ---------------------------------------------------------------------------
 
-def fused7_xla(mode, op, x_p, b_p, d_p, g, ad, s0, gw=0.0, g2=0.0):
-    """Reference/fallback math for each mode on a PaddedStar ``op``."""
+def fused7_xla(mode, op, x_p, b_p, d_p, g, ad, s0, gw=0.0, g2=0.0,
+               fop=None):
+    """Reference/fallback math for each mode on a PaddedStar ``op``.
+
+    ``fop``: the threshold-filtered P-smoothing operator (same diag,
+    weak-axis legs zeroed) — used ONLY where the transfer smooths with it
+    (the gw passes); defaults to ``op``."""
     one = jnp.ones((), jnp.float32)
     dinv = one / op.diag
+    sm = fop if fop is not None else op  # P-smoothing operator
     if mode == "mv":
         return op.mv(x_p)
     if mode == "mvdot":
@@ -928,7 +966,7 @@ def fused7_xla(mode, op, x_p, b_p, d_p, g, ad, s0, gw=0.0, g2=0.0):
         u = (s0 * r) * dinv
         x1 = u + ad * u + g * (dinv * (r - op.mv(u)))
         rr1 = r - op.mv(x1)
-        s = rr1 - gw * op.mv(dinv * rr1)
+        s = rr1 - gw * sm.mv(dinv * rr1)
         return x1, s, r, jnp.vdot(r.reshape(-1), r.reshape(-1))
     if mode == "residual":
         return b_p - op.mv(x_p)
@@ -945,34 +983,34 @@ def fused7_xla(mode, op, x_p, b_p, d_p, g, ad, s0, gw=0.0, g2=0.0):
         d = ad * u + g * (dinv * (b_p - op.mv(u)))
         return u + d, d
     if mode == "restrict":
-        return x_p - g * op.mv(dinv * x_p)
+        return x_p - g * sm.mv(dinv * x_p)
     if mode == "prolong":
-        return x_p - g * (dinv * op.mv(x_p))
+        return x_p - g * (dinv * sm.mv(x_p))
     if mode in ("descent", "descent_rr"):
         u = (s0 * b_p) * dinv
         x1 = u + ad * u + g * (dinv * (b_p - op.mv(u)))
         r = b_p - op.mv(x1)
-        s = r - gw * op.mv(dinv * r)
+        s = r - gw * sm.mv(dinv * r)
         if mode == "descent_rr":
             return x1, s, jnp.vdot(b_p.reshape(-1), b_p.reshape(-1))
         return x1, s
     if mode in ("descent1", "descent1_rr"):
         x1 = g * (dinv * b_p)
         r = b_p - op.mv(x1)
-        s = r - gw * op.mv(dinv * r)
+        s = r - gw * sm.mv(dinv * r)
         if mode == "descent1_rr":
             return x1, s, jnp.vdot(b_p.reshape(-1), b_p.reshape(-1))
         return x1, s
     if mode in ("ascent1", "ascent1_rz"):
         t, x1 = x_p, d_p
-        x2 = x1 + t - gw * (dinv * op.mv(t))
+        x2 = x1 + t - gw * (dinv * sm.mv(t))
         x3 = x2 + g * (dinv * (b_p - op.mv(x2)))
         if mode == "ascent1_rz":
             return x3, jnp.vdot(b_p.reshape(-1), x3.reshape(-1))
         return x3
     if mode in ("ascent", "ascent_rz"):
         t, x1 = x_p, d_p
-        x2 = x1 + t - gw * (dinv * op.mv(t))
+        x2 = x1 + t - gw * (dinv * sm.mv(t))
         d = g * (dinv * (b_p - op.mv(x2)))
         x3 = x2 + d
         x4 = x3 + ad * d + g2 * (dinv * (b_p - op.mv(x3)))

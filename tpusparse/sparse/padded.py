@@ -272,9 +272,17 @@ class PaddedTransfer:
         return x * self.inner.tnorm
 
     def prolong(self, fine_op, dinv, e_c):
+        if self.inner.fop is not None:
+            # threshold-filtered P-smoothing operator (same routing as
+            # StructuredTransfer.prolong — this adapter previously dropped
+            # the filter, leaving the padded cycle inconsistent with the
+            # fop-built Galerkin coarse operator)
+            fine_op = self.inner.fop
         t_p = self.t_apply_padded(e_c)
         return t_p - self.inner.omega * dinv * fine_op.mv(t_p)
 
     def restrict(self, fine_op, dinv, r_p):
+        if self.inner.fop is not None:
+            fine_op = self.inner.fop
         s_p = r_p - self.inner.omega * fine_op.mv(dinv * r_p)
         return self.tT_apply_padded(s_p)
