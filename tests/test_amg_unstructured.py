@@ -160,3 +160,71 @@ def test_validate_degrades_unsupported_known_values():
 
     with _pytest.raises(ValueError, match="not implemented"):
         load_options(["-ksp_type", "tfqmr"])
+
+
+def test_nsmooths_two_greedy():
+    """-pc_gamg_agg_nsmooths 2 on the greedy path (round-4 verdict item 7):
+    P = (I - omega D^-1 A)^2 T, Galerkin built from the SAME explicit P,
+    factored transfers applying the smoothing factor twice.  Gates: the
+    hierarchy solves, and the factored transfer matches the explicit-P
+    oracle."""
+    import scipy.sparse as sp
+
+    from tpusparse.amg.hierarchy import AMGParams, vcycle
+    from tpusparse.amg.unstructured import (
+        FactoredTransfer,
+        gamg_setup_unstructured,
+        greedy_aggregate,
+        tentative_prolongator,
+        _rho_dinv_a,
+    )
+    from tpusparse.grid.grid3d import Grid3D
+    from tpusparse.grid.poisson import assemble_poisson
+    from tpusparse.solve.cg import cg
+
+    grid = Grid3D(12, 12, 12)
+    a, b, _e = assemble_poisson(grid, pin=True)
+
+    # transfer oracle: factored (I - wD^-1A)^2 T == explicit P
+    a_sp = a.to_scipy()
+    dinv = 1.0 / a_sp.diagonal()
+    agg = greedy_aggregate(a)
+    t = tentative_prolongator(agg)
+    rho = _rho_dinv_a(a_sp, dinv)
+    omega = (4.0 / 3.0) / rho
+    p = t
+    for _ in range(2):
+        p = (p - omega * sp.diags(dinv) @ (a_sp @ p)).tocsr()
+    n_c = int(agg.max()) + 1
+    sizes = np.bincount(agg, minlength=n_c).astype(np.float64)
+    tr = FactoredTransfer(
+        agg=jnp.asarray(agg, jnp.int32),
+        w=jnp.asarray(1.0 / np.sqrt(sizes[agg])),
+        omega=jnp.asarray(omega),
+        n_coarse=n_c,
+        nsmooths=2,
+    )
+    from tpusparse.sparse.dia import DIA
+
+    op = DIA.from_csr(a)
+    e_c = np.random.default_rng(0).standard_normal(n_c)
+    got = np.asarray(tr.prolong(op, jnp.asarray(dinv), jnp.asarray(e_c)))
+    np.testing.assert_allclose(got, p @ e_c, rtol=1e-10, atol=1e-12)
+    got_r = np.asarray(tr.restrict(op, jnp.asarray(dinv), jnp.asarray(got)))
+    np.testing.assert_allclose(got_r, p.T @ (p @ e_c), rtol=1e-10, atol=1e-12)
+
+    # end-to-end: the k=2 hierarchy must solve (and not lose badly to k=1)
+    its = {}
+    for k in (0, 1, 2):
+        hier = gamg_setup_unstructured(
+            a, AMGParams(nsmooths=k, coarse_eq_limit=50),
+            aggregation="greedy",
+        )
+        res = cg(
+            hier.levels[0].op.mv, jnp.asarray(b), rtol=1e-8, maxiter=300,
+            m_mv=lambda r, h=hier: vcycle(h, r),
+        )
+        assert int(res.reason) > 0, (k, int(res.reason))
+        its[k] = int(res.iters)
+    assert its[1] <= its[0]          # smoothing helps
+    assert its[2] <= its[1] + 3      # k=2 at least comparable

@@ -206,3 +206,37 @@ def test_options_mat_reorder():
     with pytest.warns(UserWarning, match="mat_reorder"):
         o2 = load_options(["-mat_reorder", "bogus"])
     assert o2.mat_reorder == "auto"
+
+
+def test_chunked_solve_matches_jitted():
+    """The gather-safe chunked driver (KSP._solve_chunked — the >cap
+    BandedELL route on real TPUs) produces the same solution as the
+    jitted while_loop path."""
+    a, b, _e, ap, bp, _ep, _p = _permuted_poisson(n=10)
+    k = KSP(rtol=1e-8, atol=1e-12, precision="mixed")
+    k.set_operators(ap)
+    r_jit = k.solve(jnp.asarray(bp))
+
+    k2 = KSP(rtol=1e-8, atol=1e-12, precision="mixed")
+    k2.set_operators(ap)
+    k2.setup()
+    b_perm = jnp.take(jnp.asarray(bp), k2._perm)
+    r_chk = k2._solve_chunked(b_perm, None)
+    x_chk = np.asarray(jnp.take(r_chk.x.reshape(-1), k2._iperm))
+    assert r_chk.reason > 0
+    np.testing.assert_allclose(
+        x_chk, np.asarray(r_jit.x), rtol=1e-6, atol=1e-8
+    )
+
+
+def test_chunked_solve_uniform_precision():
+    a, b, _e, ap, bp, _ep, _p = _permuted_poisson(n=8)
+    k = KSP(rtol=1e-8, precision="f64", pc_type="jacobi", maxiter=3000)
+    k.set_operators(ap)
+    k.setup()
+    b_perm = jnp.take(jnp.asarray(bp), k._perm)
+    r = k._solve_chunked(b_perm, None)
+    assert r.reason > 0
+    x = np.asarray(jnp.take(r.x.reshape(-1), k._iperm))
+    r_ref = k.solve(jnp.asarray(bp))
+    np.testing.assert_allclose(x, np.asarray(r_ref.x), rtol=1e-6, atol=1e-8)

@@ -38,6 +38,15 @@ def _viewer_file(spec: str) -> str:
     return fname
 
 
+def _options_left(opts) -> None:
+    """-options_left (PetscOptionsLeft): report never-consumed options at
+    the end of the run."""
+    if getattr(opts, "options_left", 0):
+        from tpusparse.config.options import options_left_report
+
+        print(options_left_report(opts))
+
+
 def main(argv: list[str] | None = None) -> int:
     from tpusparse.bench.driver import solve_poisson
     from tpusparse.config import load_options
@@ -109,6 +118,7 @@ def main(argv: list[str] | None = None) -> int:
             print(rep.converged_reason_line())
         print(rep.reference_block())
         print("JSON:", rep.json_sidecar())
+        _options_left(opts)
         return 0
     if opts.problem == "diffusion":
         # -problem diffusion: the second problem family (variable-
@@ -154,6 +164,7 @@ def main(argv: list[str] | None = None) -> int:
             print(rep.converged_reason_line())
         print(rep.reference_block())
         print("JSON:", rep.json_sidecar())
+        _options_left(opts)
         return 0
     if opts.problem != "poisson":
         raise ValueError(
@@ -223,6 +234,7 @@ def main(argv: list[str] | None = None) -> int:
     if opts.log_view:
         print(rep.log_view())
     print("JSON:", rep.json_sidecar())
+    _options_left(opts)
     return 0
 
 

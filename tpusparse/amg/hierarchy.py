@@ -34,7 +34,9 @@ from tpusparse.sparse.varstencil import VarStencil27
 class AMGParams:
     """Setup knobs, named after their GAMG counterparts where they exist."""
 
-    nsmooths: int = 1            # -pc_gamg_agg_nsmooths (only 0/1 supported)
+    nsmooths: int = 1            # -pc_gamg_agg_nsmooths (structured path:
+    # 0/1 — the probed coarse container bounds P's reach; greedy/aij path:
+    # any k >= 0 via explicit transfers)
     threshold: float = 0.0       # -pc_gamg_threshold (0.0 = keep all, parity)
     coarse_eq_limit: int = 200   # stop coarsening below this many unknowns
     max_levels: int = 30
@@ -46,6 +48,9 @@ class AMGParams:
     # "richardson" (the reference config's explicit choice, parity mode)
     smoother: str = "chebyshev"
     degree: int = 2              # chebyshev degree / richardson sweep count
+    # per-level smoother overrides (-mg_levels_<N>_ksp_type /
+    # -mg_levels_<N>_ksp_max_it): ((level, smoother|"", degree|0), ...)
+    level_spec: tuple = ()
     smooth_damping: float = 1.0  # Richardson scale (PETSc default 1.0)
     cheby_lo: float = 0.1        # chebyshev target range [lo,hi]*rho(D^-1 A)
     cheby_hi: float = 1.05
@@ -94,7 +99,8 @@ class Level:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["levels", "damping"],
-    meta_fields=["smoother", "degree", "cheby_lo", "cheby_hi"],
+    meta_fields=["smoother", "degree", "cheby_lo", "cheby_hi",
+                 "level_spec"],
 )
 @dataclasses.dataclass
 class Hierarchy:
@@ -104,10 +110,22 @@ class Hierarchy:
     degree: int = 2
     cheby_lo: float = 0.1
     cheby_hi: float = 1.05
+    # per-level smoother overrides (-mg_levels_<N>_ksp_type /
+    # -mg_levels_<N>_ksp_max_it — PETSc PCMGGetSmoother-level
+    # configuration): tuple of (level, smoother|"", degree|0) triples;
+    # "" / 0 keep the hierarchy-wide value for that slot.
+    level_spec: tuple = ()
 
     @property
     def n_levels(self) -> int:
         return len(self.levels)
+
+    def level_cfg(self, level: int) -> tuple[str, int]:
+        """(smoother, degree) effective at ``level``."""
+        for lv, sm, dg in self.level_spec:
+            if lv == level:
+                return (sm or self.smoother, dg or self.degree)
+        return self.smoother, self.degree
 
 
 @partial(jax.jit, static_argnames=("iters", "true_shape"))
@@ -328,7 +346,12 @@ def gamg_setup(
     import time as _time
 
     if params.nsmooths not in (0, 1):
-        raise ValueError("only nsmooths in {0, 1} supported")
+        raise ValueError(
+            "the structured path supports nsmooths in {0, 1}: a twice-"
+            "smoothed prolongator reaches past the probed 27-point coarse "
+            "container; use -mat_type aij -pc_gamg_aggregation greedy, "
+            "whose explicit transfers support any -pc_gamg_agg_nsmooths"
+        )
     if params.smoother not in ("richardson", "chebyshev", "sor"):
         raise ValueError(f"unknown smoother {params.smoother!r}")
     if params.smoother == "sor":
@@ -486,6 +509,7 @@ def gamg_setup(
         degree=params.degree,
         cheby_lo=params.cheby_lo,
         cheby_hi=params.cheby_hi,
+        level_spec=params.level_spec,
     )
 
 
@@ -579,7 +603,7 @@ def cast_hierarchy(hier: Hierarchy, dtype) -> Hierarchy:
 
 def _smooth(
     hier: Hierarchy, lev: Level, b: jax.Array, x: jax.Array | None,
-    reverse: bool = False,
+    reverse: bool = False, level: int = 0,
 ):
     """Apply the level smoother to A x = b starting from x (None = zero).
 
@@ -597,7 +621,8 @@ def _smooth(
     ``vcycle`` uses it so pre/post are transposes of each other (SSOR
     pairing) and the cycle stays a symmetric CG preconditioner.
     """
-    if hier.smoother == "sor":
+    smoother, degree = hier.level_cfg(level)
+    if smoother == "sor":
         # COST NOTE: one full mv per color per sweep — 2 mvs on star
         # levels but 8 on 27-point Galerkin coarse levels (vs chebyshev's
         # 1 mv per degree).  Coarse grids are 27x+ smaller so the cycle
@@ -609,7 +634,7 @@ def _smooth(
         if reverse:
             masks = masks[::-1]
         omega = hier.damping
-        for _ in range(hier.degree):
+        for _ in range(degree):
             for m in masks:
                 if x is None:
                     x = jnp.where(m, omega * lev.dinv * b,
@@ -623,8 +648,8 @@ def _smooth(
         pc = lev.bjac.apply
     else:
         pc = lambda r: lev.dinv * r
-    if hier.smoother == "richardson":
-        for _ in range(hier.degree):
+    if smoother == "richardson":
+        for _ in range(degree):
             if x is None:
                 x = hier.damping * pc(b)
             else:
@@ -641,7 +666,7 @@ def _smooth(
     r = b if x is None else b - lev.op.mv(x)
     d = pc(r) / theta
     x = d if x is None else x + d
-    for _ in range(hier.degree - 1):
+    for _ in range(degree - 1):
         rho_new = 1.0 / (2.0 * sigma - rho_c)
         r = b - lev.op.mv(x)
         d = rho_new * rho_c * d + (2.0 * rho_new / delta) * pc(r)
@@ -675,7 +700,7 @@ def vcycle(
         if lev.bjac is not None:
             return lev.bjac.apply(b)
         return lev.dinv * b
-    x = _smooth(hier, lev, b, None)
+    x = _smooth(hier, lev, b, None, level=level)
     r = b - lev.op.mv(x)
     e_c = lev.transfer.restrict(lev.op, lev.dinv, r)
     e = vcycle(hier, e_c, level + 1, gamma)
@@ -684,7 +709,7 @@ def vcycle(
         r_c = e_c - _coarse_mv(hier, level + 1, e)
         e = e + vcycle(hier, r_c, level + 1, gamma)
     x = x + lev.transfer.prolong(lev.op, lev.dinv, e)
-    return _smooth(hier, lev, b, x, reverse=True)
+    return _smooth(hier, lev, b, x, reverse=True, level=level)
 
 
 def fmg(hier: Hierarchy, b: jax.Array, n_v: int = 1) -> jax.Array:

@@ -50,29 +50,39 @@ class ELLTransfer:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["agg", "w", "omega"],
-    meta_fields=["n_coarse"],
+    meta_fields=["n_coarse", "nsmooths"],
 )
 @dataclasses.dataclass
 class FactoredTransfer:
-    """P kept in factored form P = (I - omega D^-1 A) T instead of as an
+    """P kept in factored form P = (I - omega D^-1 A)^k T instead of as an
     explicit matrix: T's action is one gather from the SMALL coarse vector
     (prolong) / one segment-sum into it (restrict), and the smoothing factor
     reuses the level operator's gather-free DIA mv.  This removes the
     fine-sized ELL index gathers from the V-cycle entirely — the shape the
     deployed v5e libtpu crashes on — and stores O(n) instead of O(n*width).
+
+    ``nsmooths`` (-pc_gamg_agg_nsmooths) is the prolongator-smoothing
+    application count k: 0 = tentative-only (omega is 0 there), 1 = the
+    reference config, >= 2 = wider-support smoothed aggregation (each
+    application is one more fine mv per transfer).
     """
 
     agg: jax.Array    # (n_fine,) int32 aggregate id
     w: jax.Array      # (n_fine,) float: 1/sqrt(|aggregate|) per member
     omega: jax.Array  # prolongator-smoothing damping (0 when nsmooths=0)
     n_coarse: int
+    nsmooths: int = 1
 
     def prolong(self, fine_op, dinv, e_c):
         t = self.w * e_c[self.agg]
-        return t - self.omega * (dinv * fine_op.mv(t))
+        for _ in range(max(self.nsmooths, 0)):
+            t = t - self.omega * (dinv * fine_op.mv(t))
+        return t
 
     def restrict(self, fine_op, dinv, x):
-        s = x - self.omega * fine_op.mv(dinv * x)
+        s = x
+        for _ in range(max(self.nsmooths, 0)):
+            s = s - self.omega * fine_op.mv(dinv * s)
         return jax.ops.segment_sum(
             self.w * s, self.agg, num_segments=self.n_coarse
         )
@@ -235,8 +245,8 @@ def gamg_setup_unstructured(
     # GATHER_ROW_CAP) — "auto" reroutes such inputs to the banded setup
     GATHER_ROW_CAP_BANDED = 1_500_000
 
-    if params.nsmooths not in (0, 1):
-        raise ValueError("only nsmooths in {0, 1} supported")
+    if params.nsmooths < 0:
+        raise ValueError(f"nsmooths must be >= 0, got {params.nsmooths}")
     if params.smoother == "sor":
         raise ValueError(
             "smoother='sor' (multicolor GS) needs colorable grid"
@@ -524,14 +534,23 @@ def gamg_setup_unstructured(
             ))
             break
         t = tentative_prolongator(agg)
-        omega = params.omega_scale / rho_point if params.nsmooths == 1 else 0.0
+        omega = (
+            params.omega_scale / rho_point if params.nsmooths >= 1 else 0.0
+        )
         _t0 = _time.perf_counter()
-        if params.nsmooths == 1:
-            p = (t - omega * sp.diags(dinv) @ (a_sp @ t)).tocsr()
-        else:
-            p = t
+        # P = (I - omega D^-1 A)^k T — k = nsmooths applications of the
+        # same damped-Jacobi smoothing factor (PETSc GAMG semantics); the
+        # Galerkin product below consumes this same explicit P, so the
+        # coarse operators stay exactly consistent with the transfers
+        p = t
+        dmat = sp.diags(dinv)
+        for _ in range(params.nsmooths):
+            p = (p - omega * dmat @ (a_sp @ p)).tocsr()
         tm["galerkin"] += _time.perf_counter() - _t0
-        if geo_shape is not None and transfer_format == "auto":
+        if (
+            geo_shape is not None and transfer_format == "auto"
+            and params.nsmooths <= 1
+        ):
             # geometric aggregation's native transfer: pure reshapes.  An
             # EXPLICIT transfer_format request still wins below (the math
             # is identical — geo agg ids work in any container).
@@ -558,6 +577,7 @@ def gamg_setup_unstructured(
                 ),
                 omega=jnp.asarray(omega, lev_common["dinv"].dtype),
                 n_coarse=n_c,
+                nsmooths=params.nsmooths,
             )
         else:
             transfer = ELLTransfer(
@@ -591,6 +611,7 @@ def gamg_setup_unstructured(
         degree=params.degree,
         cheby_lo=params.cheby_lo,
         cheby_hi=params.cheby_hi,
+        level_spec=params.level_spec,
     )
 
 

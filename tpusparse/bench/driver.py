@@ -176,10 +176,15 @@ def _pick_ksp(
     precision: str,
     ksp_gmres_restart: int,
     ksp_richardson_scale: float,
+    ksp_norm_type: str = "default",
 ):
     """Resolve a -ksp_type name to a solver callable (shared by the stencil
     and aij drivers)."""
     if ksp == "cg":
+        if ksp_norm_type not in ("default", "unpreconditioned"):
+            from functools import partial as _partial
+
+            return _partial(cg, norm_type=ksp_norm_type)
         return cg
     if ksp == "pipecg":
         from tpusparse.solve.pipelined import cg_pipelined
@@ -309,6 +314,7 @@ def solve_poisson(
     assembly: str = "auto",
     structure_detect: bool = True,
     compute_eigenvalues: bool = False,
+    ksp_norm_type: str = "default",
 ) -> SolveReport:
     """End-to-end solve with the reference's defaults
     (tolerances: configs/PETSc_SolverOptions_GAMG.info:1-4).
@@ -359,7 +365,8 @@ def solve_poisson(
         raise RuntimeError("enable jax_enable_x64 before building f64 systems")
     mixed = precision in ("mixed", "tf")
     ksp_solve = _pick_ksp(
-        ksp, precision, ksp_gmres_restart, ksp_richardson_scale
+        ksp, precision, ksp_gmres_restart, ksp_richardson_scale,
+        ksp_norm_type,
     )
 
     # Runtime bring-up OUTSIDE the timed phases: the reference's timer

@@ -17,6 +17,7 @@ insert-order semantics.
 from __future__ import annotations
 
 import dataclasses
+import re
 import shlex
 from pathlib import Path
 
@@ -53,6 +54,13 @@ class Options:
     log_view: bool = False          # print the performance summary
     # (PETSc -log_view parity: phase times + flop accounting)
     ksp_richardson_scale: float = 1.0  # top-level KSPRICHARDSON damping
+    # -ksp_norm_type (KSPSetNormType): which norm the convergence test
+    # uses.  "default" keeps this framework's contract (unpreconditioned
+    # ||r||_2 — the quantity the reference driver reports,
+    # main_ksp.cpp:124-129); "preconditioned" = sqrt(<r, z>) (PETSc CG's
+    # own default, one fewer reduction); "none" = KSP_NORM_NONE (run
+    # exactly max_it iterations, CONVERGED_ITS).  CG only.
+    ksp_norm_type: str = "default"
     ksp_gmres_restart: int = 30     # -ksp_gmres_restart (KSPGMRES)
 
     # -mat_type (DMSetMatType parity, src/helper.cpp:39): "stencil" = the
@@ -107,6 +115,11 @@ class Options:
     # none = never (MatOrderingType parity: PETSc -pc_factor_mat_ordering_
     # type rcm / MatGetOrdering).
     mat_reorder: str = "auto"
+    # -options_left (PetscOptionsLeft parity): report database options that
+    # were set but never consumed, at the end of the run.  The names are
+    # recorded on the Options object at parse time (load_options); the CLI
+    # prints the report when this flag is set.
+    options_left: int = 0
     dtype: str = "float64"
     devices: int = 1                # mesh size (z-sharded)
     precision: str = "mixed"        # mixed | tf | f64 | f32 (bench/driver.py)
@@ -153,6 +166,9 @@ class Options:
             coarse_solve=(
                 "lu" if self.mg_coarse_pc_type == "lu" else "jacobi"
             ),
+            # per-level smoother specs (-mg_levels_<N>_ksp_type /
+            # -mg_levels_<N>_ksp_max_it), parsed by load_options
+            level_spec=getattr(self, "_mg_level_overrides", ()),
         )
 
     def validate(self) -> "Options":
@@ -204,6 +220,18 @@ class Options:
             )
         degrade("pc_type", ("gamg", "jacobi", "sor", "bjacobi", "none"), "gamg")
         degrade("mat_reorder", ("auto", "rcm", "none"), "auto")
+        degrade(
+            "ksp_norm_type",
+            ("default", "unpreconditioned", "preconditioned", "none"),
+            "default",
+        )
+        if self.ksp_norm_type not in ("default", "unpreconditioned") and \
+                self.ksp_type != "cg":
+            raise ValueError(
+                f"-ksp_norm_type {self.ksp_norm_type} is wired for"
+                f" -ksp_type cg (got {self.ksp_type}); other KSPs keep"
+                f" their natural norm"
+            )
         degrade("pc_gamg_aggregation",
                 ("auto", "geometric", "greedy", "banded"), "auto")
         degrade("pc_gamg_type", ("agg",), "agg")
@@ -293,6 +321,13 @@ def parse_options_file(path: str | Path) -> dict:
 def _coerce(name: str, raw: str):
     typ = _FIELDS[name].type
     if typ in ("int", int):
+        # PETSc flag-style booleans on int-typed knobs: a bare `-flag`
+        # parses as "true" (see _parse_tokens) and explicit boolean
+        # spellings are accepted for toggles like -options_left
+        if raw.lower() in ("true", "yes", "on"):
+            return 1
+        if raw.lower() in ("false", "no", "off"):
+            return 0
         return int(raw)
     if typ in ("float", float):
         return float(raw)
@@ -337,13 +372,32 @@ def load_options(argv: list[str] | None = None) -> Options:
 
     kwargs = {}
     unknown = []
+    unused: dict[str, str] = {}
+    level_overrides: dict[int, dict] = {}
     for key, raw in merged.items():
         if key in _FIELDS:
             kwargs[key] = _coerce(key, raw)
         elif key in _ACCEPTED_NOOPS:
             continue
         else:
+            # -mg_levels_<N>_ksp_type / -mg_levels_<N>_ksp_max_it: PETSc
+            # per-level smoother specs (PCMGGetSmoother configuration)
+            m = re.fullmatch(r"mg_levels_(\d+)_ksp_(type|max_it)", key)
+            if m:
+                lv = int(m.group(1))
+                slot = level_overrides.setdefault(lv, {})
+                if m.group(2) == "type":
+                    if raw not in ("chebyshev", "richardson", "sor"):
+                        raise ValueError(
+                            f"-{key} {raw}: per-level smoother must be"
+                            f" chebyshev | richardson | sor"
+                        )
+                    slot["smoother"] = raw
+                else:
+                    slot["degree"] = int(raw)
+                continue
             unknown.append(key)
+            unused[key] = raw
     if unknown:
         # PETSc semantics: unused options are IGNORED (it only reports them
         # under -options_left), so an arbitrary reference-era config file
@@ -360,4 +414,32 @@ def load_options(argv: list[str] | None = None) -> Options:
     # record which names the user actually set (file or CLI) so validate()
     # can distinguish explicit requests from dataclass defaults
     object.__setattr__(opts, "_provided", frozenset(kwargs))
+    # names set but never consumed, for -options_left (PetscOptionsLeft)
+    object.__setattr__(opts, "_unused", dict(unused))
+    # per-level smoother specs, consumed by amg_params()
+    object.__setattr__(
+        opts, "_mg_level_overrides",
+        tuple(
+            (lv, d.get("smoother", ""), d.get("degree", 0))
+            for lv, d in sorted(level_overrides.items())
+        ),
+    )
     return opts.validate()
+
+
+def options_left_report(opts) -> str | None:
+    """PetscOptionsLeft parity: the end-of-run report of database options
+    that were set but never used (None when everything was consumed)."""
+    unused = getattr(opts, "_unused", None) or {}
+    if not unused:
+        return "There are no unused options."
+    lines = [
+        f"There are {len(unused)} unused database options. They are:"
+    ]
+    for k in sorted(unused):
+        v = unused[k]
+        lines.append(
+            f"Option left: name:-{k}"
+            + (f" value: {v}" if v != "true" else " (no value)")
+        )
+    return "\n".join(lines)

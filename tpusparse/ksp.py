@@ -516,6 +516,97 @@ class KSP:
 
     # -- KSPSolve ----------------------------------------------------------
 
+    def _needs_chunked_solve(self) -> bool:
+        """True when the fine operator is a gather-bearing segmented
+        executor too large for a while_loop program on the deployed
+        libtpu (sparse/bandell.py; GATHER_ROW_CAP policy)."""
+        from tpusparse.kernels.stencil7 import is_tpu_backend
+        from tpusparse.sparse.bandell import BandedELL
+        from tpusparse.sparse.dia import GATHER_ROW_CAP
+
+        op = self._op_lo if self._op_lo is not None else self._op
+        return (
+            isinstance(op, BandedELL)
+            and op.n_rows > GATHER_ROW_CAP
+            and is_tpu_backend()
+        )
+
+    def _solve_chunked(self, b: jax.Array, x0) -> KSPResult:
+        """Gather-safe solve: fixed-trip fori chunks with host-side
+        convergence checks (``solve/cg.cg_hostloop``), under an EAGER
+        defect-correction outer loop for mixed precision.  Functionally
+        the same contract as the jitted path; costs one dispatch per chunk
+        of iterations."""
+        import numpy as np
+
+        from tpusparse.solve.cg import ConvergedReason, cg_hostloop
+
+        if self.ksp_type != "cg":
+            raise ValueError(
+                "the chunked large-matrix driver supports ksp_type='cg';"
+                f" got {self.ksp_type!r}"
+            )
+        if x0 is not None:
+            raise ValueError(
+                "the chunked large-matrix driver requires a zero initial"
+                " guess"
+            )
+        gamma = 1 if self.mg_cycle == "v" else 2
+        m_of = self._m_of
+
+        def m_apply(ps, r):
+            f = m_of(ps) if m_of is not None else None
+            return r if f is None else f(r)
+
+        a_apply = lambda op, x: op.mv(x)
+        if self.precision != "mixed":
+            res = cg_hostloop(
+                a_apply, self._op, b, rtol=self.rtol, atol=self.atol,
+                maxiter=self.maxiter, m_apply=m_apply,
+                m_state=self._pc_state,
+            )
+            return KSPResult(
+                x=res.x, iters=int(res.iters), resnorm=float(res.resnorm),
+                reason=int(res.reason),
+            )
+        # eager defect correction (the jitted twin: solve/refine.cg_refined)
+        bnorm = float(jnp.linalg.norm(b))
+        tol = max(self.rtol * bnorm, self.atol)
+        x = jnp.zeros_like(b)
+        r = b
+        total = 0
+        prev = float("inf")
+        reason = int(ConvergedReason.DIVERGED_ITS)
+        for outer in range(12):
+            rn = float(jnp.linalg.norm(r))
+            if not np.isfinite(rn):
+                reason = int(ConvergedReason.DIVERGED_NANORINF)
+                break
+            if rn <= tol:
+                reason = (
+                    int(ConvergedReason.CONVERGED_ATOL)
+                    if rn <= self.atol
+                    else int(ConvergedReason.CONVERGED_RTOL)
+                )
+                break
+            if outer >= 2 and rn > 0.5 * prev:
+                reason = int(ConvergedReason.CONVERGED_STALLED)
+                break
+            prev = rn
+            r_lo = (r / rn).astype(jnp.float32)
+            need = float(np.clip(0.25 * tol / rn, 1e-5, 0.5))
+            inner = cg_hostloop(
+                a_apply, self._op_lo, r_lo, rtol=need, maxiter=200,
+                m_apply=m_apply, m_state=self._pc_state, chunk=16,
+            )
+            total += int(inner.iters)
+            x = x + inner.x.astype(b.dtype) * rn
+            r = b - self._op.mv(x)
+        return KSPResult(
+            x=x, iters=total, resnorm=float(jnp.linalg.norm(r)),
+            reason=reason, outer_iters=outer,
+        )
+
     def _build_solve(self, x0_mode: bool = False):
         """The compiled solve program.  ``x0_mode`` solves the DEFECT
         system A dx = b - A x0 but keeps the convergence gate relative to
@@ -584,6 +675,26 @@ class KSP:
             b = jnp.take(b.reshape(-1), self._perm)
             if x0 is not None:
                 x0 = jnp.take(x0.reshape(-1), self._perm)
+        if self._needs_chunked_solve():
+            # large gather-bearing executor: the deployed libtpu crashes
+            # its worker on gather programs inside lax.while_loop at this
+            # scale even when every individual gather is window-local
+            # (measured at 150^3: all pieces pass standalone AND in
+            # fori_loop, the combined while_loop program kills the
+            # worker).  Route through the gather-safe chunked driver —
+            # fixed-trip fori chunks with host-side convergence checks —
+            # the same policy solve/cg.cg_hostloop documents.
+            res = self._solve_chunked(b, x0)
+            if self._perm is not None:
+                res = dataclasses.replace(
+                    res, x=jnp.take(res.x.reshape(-1), self._iperm)
+                )
+            self._last = res
+            if self.error_if_not_converged and res.reason < 0:
+                from tpusparse.bench.driver import DivergedError
+
+                raise DivergedError(f"Diverged reason: {res.reason}")
+            return res
         # structured operators apply on the 3-D field view; accept flat
         # vectors and answer in kind
         flat_in = False

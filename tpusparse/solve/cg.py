@@ -47,6 +47,7 @@ class ConvergedReason(enum.IntEnum):
     # gating on reason > 0 accept a stalled solve; callers that require
     # rtol/atol to have been MET must check for this value explicitly.
     CONVERGED_STALLED = 100
+    CONVERGED_ITS = 4       # -ksp_norm_type none: ran the requested its
     ITERATING = 0
     DIVERGED_ITS = -3
     DIVERGED_DTOL = -4
@@ -94,6 +95,7 @@ def cg(
     divtol: float = 1e5,
     ab_fused: Callable | None = None,
     m_fused: Callable | None = None,
+    norm_type: str = "unpreconditioned",
 ) -> CGResult:
     """Solve A x = b with (preconditioned) CG.
 
@@ -140,6 +142,13 @@ def cg(
     initial guess (x0=None) and is incompatible with state0/return_state/
     history/spectrum/a_mv_dot/m_mv_dots.
 
+    ``norm_type`` (-ksp_norm_type): "unpreconditioned" (the default —
+    KSPConvergedDefault on ||r||_2, matching the reference's residual
+    reporting), "preconditioned" (||r||_{M} = sqrt(<r, z>) — PETSc CG's
+    own default norm; one fewer reduction per iteration since <r, z> is
+    already computed), or "none" (no convergence tests: run exactly
+    ``maxiter`` iterations and report CONVERGED_ITS, PETSc KSP_NORM_NONE).
+
     ``check_every`` runs that many CG iterations per convergence check
     (PETSc checks every iteration = the default 1).  On dispatch-latency
     bound hardware each dynamic-loop trip carries a fixed cost (measured
@@ -175,6 +184,8 @@ def cg(
         )
     if check_every < 1:
         raise ValueError(f"check_every must be >= 1, got {check_every}")
+    if norm_type not in ("unpreconditioned", "preconditioned", "none"):
+        raise ValueError(f"unknown norm_type {norm_type!r}")
     fused = ab_fused is not None and m_fused is not None
     if (ab_fused is None) != (m_fused is None):
         raise ValueError("ab_fused and m_fused must be given together")
@@ -214,8 +225,22 @@ def cg(
             z0 = m_mv(r0)
             rz0 = _dot(r0, z0)
             rnorm0 = jnp.sqrt(_dot(r0, r0))
+        if norm_type == "preconditioned":
+            rnorm0 = jnp.sqrt(jnp.abs(rz0))
 
     def classify(rnorm, it):
+        if norm_type == "none":
+            # KSP_NORM_NONE: no residual tests at all — the solve runs its
+            # budget and reports it (NaN still surfaces via the state)
+            return jnp.where(
+                ~jnp.isfinite(rnorm),
+                jnp.int32(ConvergedReason.DIVERGED_NANORINF),
+                jnp.where(
+                    it >= maxiter,
+                    jnp.int32(ConvergedReason.CONVERGED_ITS),
+                    jnp.int32(ConvergedReason.ITERATING),
+                ),
+            )
         return jnp.where(
             ~jnp.isfinite(rnorm),
             jnp.int32(ConvergedReason.DIVERGED_NANORINF),
@@ -297,6 +322,8 @@ def cg(
             z = m_mv(r)
             rz_new = _dot(r, z)
             rnorm = jnp.sqrt(_dot(r, r))
+        if norm_type == "preconditioned":
+            rnorm = jnp.sqrt(jnp.abs(rz_new))
         beta = rz_new / rz
         p = z + beta * p
         new = (x, r, z, p, rz_new, rnorm, it + 1)

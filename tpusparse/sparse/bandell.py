@@ -33,8 +33,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# keep every window comfortably under the libtpu gather-operand crash cap
-WINDOW_CAP = 1_400_000
+# Keep every window comfortably under the libtpu gather crash region.
+# Two independent hazards bound the segment size: the gather OPERAND
+# (the window itself) and the per-gather INDEX COUNT (width * L) — plain
+# ELL crashes at >= ~2M rows = ~14M indices, so segments stay far below
+# both (600k-row windows put a 7-wide matrix at ~4M indices per gather).
+WINDOW_CAP = 600_000
 
 
 @partial(
