@@ -36,7 +36,7 @@ def _sharded_system():
     return mesh, op_s, hier_s, b_s
 
 
-def _model_terms(mesh):
+def _model_terms(mesh, c_shape):
     """The comm model's per-apply halo and per-cycle seam bytes for this
     grid/mesh — same formulas as bench/scaling.comm_model."""
     pz, py = mesh.devices.shape
@@ -46,14 +46,14 @@ def _model_terms(mesh):
     halo_per_apply = (2 if pz > 1 else 0) * plane_z + (
         2 if py > 1 else 0
     ) * plane_y
-    n3 = (NX * NY * NZ) // 3
-    seam = int(n3 * itemsize * (2.0 / py + 7.0 / 8.0))
-    return halo_per_apply, seam
+    # seam-local transfer (dist/seam.py): one psum of the coarse field
+    coarse_payload = int(np.prod(c_shape)) * itemsize
+    return halo_per_apply, coarse_payload
 
 
 def test_fine_mv_halo_bytes_match_model():
-    mesh, op_s, _hier, b_s = _sharded_system()
-    halo_model, _ = _model_terms(mesh)
+    mesh, op_s, hier_s, b_s = _sharded_system()
+    halo_model, _ = _model_terms(mesh, hier_s.levels[0].transfer.c_shape)
     s = compiled_collectives(lambda o, x: o.mv(x), op_s, b_s)
     got = s.get("collective-permute", {"bytes": 0})["bytes"]
     # GSPMD emits exactly the boundary planes; equality, not tolerance
@@ -64,21 +64,22 @@ def test_vcycle_collectives_match_model():
     from tpusparse.amg import vcycle
 
     mesh, _op, hier_s, b_s = _sharded_system()
-    halo_model, seam_model = _model_terms(mesh)
+    halo_model, seam_payload = _model_terms(
+        mesh, hier_s.levels[0].transfer.c_shape
+    )
     s = compiled_collectives(lambda h, r: vcycle(h, r), hier_s, b_s)
     cp = s.get("collective-permute", {"bytes": 0, "count": 0})
     # the model charges 6 fine applies per V-cycle (fine_applies_per_iter
     # = 7 includes CG's own mv); each apply is one halo volume
     assert cp["bytes"] == 6 * halo_model, (s, halo_model)
-    # fine/coarse seam: GSPMD all-reduces the z-coarsened PARTIAL slab
-    # over z-groups then all-gathers it — this very measurement corrected
-    # the round-3 n/27 ring estimate to the n/3 staged form priced by
-    # comm_model; hold it to within 2x of the corrected model
-    ag = s.get("all-gather", {"bytes": 0})["bytes"]
-    ar = s.get("all-reduce", {"bytes": 0})["bytes"]
-    moved = ag * 7 / 8 + 2 * ar
-    assert moved > 0, s
-    assert 0.5 * seam_model <= moved <= 2 * seam_model, (s, seam_model)
+    # fine/coarse seam in the seam-local form (dist/seam.py): exactly ONE
+    # all-reduce, of exactly the coarse field, and no all-gather — this is
+    # the n/27 form; round 4's GSPMD default moved ~n/3 here (all-reduce
+    # of the z-coarsened partial slab + all-gather, measured by this test)
+    ar = s.get("all-reduce", {"bytes": 0, "count": 0})
+    assert ar["count"] == 1, s
+    assert ar["bytes"] == seam_payload, (s, seam_payload)
+    assert "all-gather" not in s, s
 
 
 def test_cg_iteration_psum_count():

@@ -142,6 +142,15 @@ def shard_hierarchy(hier, mesh: Mesh):
         )
     else:
         transfer0 = put_rep(transfer0)
+    if hasattr(transfer0, "sz"):
+        # structured level-0 transfer: wrap the index contractions in the
+        # seam-local shard_map form — one coarse-sized (n/27) psum at the
+        # restrict seam and ZERO comm at prolong, instead of GSPMD's ~n/3
+        # all-reduce + all-gather of the z-coarsened partial slab (measured
+        # by utils/hlostats in round 4; dist/seam.py)
+        from tpusparse.dist.seam import ShardedTransfer
+
+        transfer0 = ShardedTransfer(inner=transfer0, mesh=mesh)
     new_levels = [
         type(lev0)(
             op=_put(lev0.op, fs),
