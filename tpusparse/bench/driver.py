@@ -685,7 +685,25 @@ def _setup_and_solve(
     # v5e costs ~0.6 ms regardless of body (bench/ovprobe.py), so the
     # production inner CG checks convergence every 2 iterations (PETSc
     # checks every iteration; CG overshoot is harmless — see solve/cg.py)
-    inner_check_every = 1  # measured: check_every=2 overshoot (+2 iters) outweighs the ~0.3 ms/iter loop-overhead saving at 300^3 — cg keeps the knob, production stays at 1
+    # round-4 measurement (loop-trip cost ~0.3 ms): check_every=2 overshoot
+    # (+2 iters) outweighed the saving.  Round-5 itprof measured the trip
+    # cost at ~1.3-1.5 ms on the same tunnel (it varies with the transport),
+    # which flips the trade at 300^3 — env-tunable so deployments can match
+    # their own dispatch latency; default from the round-5 on-chip A/B.
+    import os as _os2
+
+    inner_check_every = int(_os2.environ.get("TPUSPARSE_CHECK_EVERY", "1"))
+
+    # fused mv+<p,Ap> (PaddedStar.mv_dot): kills the CG shell's standalone
+    # alpha-denominator reduction.  Round-3 measured net-neutral; round-5
+    # itprof measured mvdot <= mv outright (halo sharing changed the kernel
+    # economics) — env-tunable for the on-chip A/B, cg-only.
+    a_lo_mv_dot = None
+    if (
+        bool(_os2.environ.get("TPUSPARSE_MVDOT"))
+        and ksp == "cg" and hasattr(op_lo, "mv_dot")
+    ):
+        a_lo_mv_dot = lambda op_lo: op_lo.mv_dot
 
     if precision == "tf":
         # two-float outer: no f64 on the device hot path at all
@@ -699,6 +717,9 @@ def _setup_and_solve(
                 m_lo_mv=m_of(pc_state),
                 m_lo_mv_dots=(
                     m_dots_of(pc_state) if m_dots_of is not None else None
+                ),
+                a_lo_mv_dot=(
+                    a_lo_mv_dot(op_lo) if a_lo_mv_dot is not None else None
                 ),
                 **_cg_fusion_kw(cg_fusion_ok, op_lo, pc_state, gamma),
                 check_every=inner_check_every,
@@ -720,6 +741,9 @@ def _setup_and_solve(
                 m_lo_mv=m_of(pc_state),
                 m_lo_mv_dots=(
                     m_dots_of(pc_state) if m_dots_of is not None else None
+                ),
+                a_lo_mv_dot=(
+                    a_lo_mv_dot(op_lo) if a_lo_mv_dot is not None else None
                 ),
                 **_cg_fusion_kw(cg_fusion_ok, op_lo, pc_state, gamma),
                 check_every=inner_check_every,

@@ -99,9 +99,9 @@ def main():
         )
         return x1 + s  # single field dep
 
-    # descent: reads b,diag at (tz+6)/tz, writes x1,s
-    timeit("descent kernel (~5.2-pass)", descent, op, b_p,
-           reps=reps, bytes_=int(5.2 * field))
+    # descent: reads b,diag once (halo sharing), writes x1,s — exactly 4
+    timeit("descent kernel (4-pass)", descent, op, b_p,
+           reps=reps, bytes_=4 * field)
 
     def ascent(o, x):
         return fused7_call(
@@ -109,8 +109,9 @@ def main():
             shape=shape, pinned=o.pinned, gw=gw, g2=g,
         )
 
-    timeit("ascent kernel (~6.4-pass)", ascent, op, b_p,
-           reps=reps, bytes_=int(6.4 * field))
+    # ascent: reads t,diag,b,x1 once, writes x4 — exactly 5
+    timeit("ascent kernel (5-pass)", ascent, op, b_p,
+           reps=reps, bytes_=5 * field)
 
     # --- transfers (restrict + prolong chained: 2 fine passes + coarse) ------
     c_shape = tr.c_shape
@@ -191,8 +192,8 @@ def main():
             shape=shape, pinned=o.pinned, gw=gw, g2=g,
         )[0]
 
-    timeit("ascent_rz kernel (~6.4-pass)", ascent_rz, op, b_p,
-           reps=reps, bytes_=int(6.4 * field))
+    timeit("ascent_rz kernel (5-pass + dot)", ascent_rz, op, b_p,
+           reps=reps, bytes_=5 * field)
 
     def cg_iter_fused(o, h, st):
         x, r, z, p, rz, a_prev, beta = st

@@ -574,18 +574,20 @@ def _kernel(
             )
         if mode in ("descent", "descent_rr"):
             b3, diag3 = p, diag
-            dinv3 = one / diag3
+            dinv3 = one / diag3                      # ONE reciprocal; the
+            # narrower windows below reuse slices of it (divides are the
+            # costliest VPU op in the chain — 2 fewer per element)
             u3 = (s0 * b3) * dinv3                   # pre-smooth 1; zero at
             # pads by construction (b pads 0, diag pads 1)
             w1 = apply_a(u3, s0 * win(b3, 3, 2), 2, i)
             u2 = win(u3, 3, 2)
             x1_2 = u2 + ad * u2 + g * (
-                (one / win(diag3, 3, 2)) * (win(b3, 3, 2) - w1)
+                win(dinv3, 3, 2) * (win(b3, 3, 2) - w1)
             )                                        # pre-smooth 2 (h2)
             x1_2 = mask_dom(x1_2, 2, i)
             w2 = apply_a(x1_2, win(diag3, 3, 1) * win(x1_2, 2, 1), 1, i)
             r1 = mask_dom(win(b3, 3, 1) - w2, 1, i)  # residual (h1)
-            u1 = r1 * (one / win(diag3, 3, 1))
+            u1 = r1 * win(dinv3, 3, 1)
             w3 = apply_a(
                 u1, win(r1, 1, 0), 0, i, legs=(fcx, fcy, fcz)
             )                                        # diag*(D^-1 r) == r
@@ -607,17 +609,17 @@ def _kernel(
             # output for the next iteration.  The fused dot is <r', r'>.
             diag3 = diag
             b3 = p - g2 * wins["b"]                  # r' at h3
-            dinv3 = one / diag3
+            dinv3 = one / diag3                      # one reciprocal, reused
             u3 = (s0 * b3) * dinv3                   # pre-smooth 1
             w1 = apply_a(u3, s0 * win(b3, 3, 2), 2, i)
             u2 = win(u3, 3, 2)
             x1_2 = u2 + ad * u2 + g * (
-                (one / win(diag3, 3, 2)) * (win(b3, 3, 2) - w1)
+                win(dinv3, 3, 2) * (win(b3, 3, 2) - w1)
             )                                        # pre-smooth 2 (h2)
             x1_2 = mask_dom(x1_2, 2, i)
             w2 = apply_a(x1_2, win(diag3, 3, 1) * win(x1_2, 2, 1), 1, i)
             r1 = mask_dom(win(b3, 3, 1) - w2, 1, i)  # residual (h1)
-            u1 = r1 * (one / win(diag3, 3, 1))
+            u1 = r1 * win(dinv3, 3, 1)
             w3 = apply_a(
                 u1, win(r1, 1, 0), 0, i, legs=(fcx, fcy, fcz)
             )                                        # diag*(D^-1 r) == r
@@ -634,7 +636,7 @@ def _kernel(
             x1_2 = mask_dom(g * (b2 * dinv2), 2, i)   # one Richardson sweep
             w1 = apply_a(x1_2, win(diag2, 2, 1) * win(x1_2, 2, 1), 1, i)
             r1 = mask_dom(win(b2, 2, 1) - w1, 1, i)
-            u1 = r1 * (one / win(diag2, 2, 1))
+            u1 = r1 * win(dinv2, 2, 1)
             w2 = apply_a(
                 u1, win(r1, 1, 0), 0, i, legs=(fcx, fcy, fcz)
             )                                         # diag*(D^-1 r) == r
@@ -650,18 +652,18 @@ def _kernel(
             t2, diag1 = p, diag
             x1_1 = wins["d"]
             b0 = wins["b"]
+            dinv1w = one / diag1                     # one reciprocal, reused
             wt = apply_a(
                 t2, win(diag1, 1, 1) * win(t2, 2, 1), 1, i,
                 legs=(fcx, fcy, fcz),
             )
             x2_1 = mask_dom(
-                x1_1 + win(t2, 2, 1)
-                - gw * ((one / win(diag1, 1, 1)) * wt), 1, i
+                x1_1 + win(t2, 2, 1) - gw * (dinv1w * wt), 1, i
             )
             w1 = apply_a(x2_1, win(diag1, 1, 0) * win(x2_1, 1, 0), 0, i)
             x3 = mask_dom(
                 win(x2_1, 1, 0)
-                + g * ((one / win(diag1, 1, 0)) * (b0 - w1)), 0, i
+                + g * (win(dinv1w, 1, 0) * (b0 - w1)), 0, i
             )
             if mode == "ascent1_rz":
                 # fused <b, out> (CG's <r, z>: this kernel's output IS z)
@@ -682,12 +684,13 @@ def _kernel(
                 x1_2 + win(t3, 3, 2) - gw * (dinv2 * wt), 2, i
             )                                        # prolong-smooth + add
             w1 = apply_a(x2_2, win(diag2, 2, 1) * win(x2_2, 2, 1), 1, i)
-            dinv1 = one / win(diag2, 2, 1)
-            d1 = mask_dom(g * (dinv1 * (b1 - w1)), 1, i)  # post-smooth 1
+            d1 = mask_dom(
+                g * (win(dinv2, 2, 1) * (b1 - w1)), 1, i
+            )                                        # post-smooth 1
             x3_1 = mask_dom(win(x2_2, 2, 1) + d1, 1, i)
             w2 = apply_a(x3_1, win(diag2, 2, 0) * win(x3_1, 1, 0), 0, i)
             dnew = ad * win(d1, 1, 0) + g2 * (
-                (one / win(diag2, 2, 0)) * (win(b1, 1, 0) - w2)
+                win(dinv2, 2, 0) * (win(b1, 1, 0) - w2)
             )                                        # post-smooth 2
             x4 = mask_dom(win(x3_1, 1, 0) + dnew, 0, i)
             if mode == "ascent_rz":

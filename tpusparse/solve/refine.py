@@ -88,6 +88,7 @@ def cg_refined(
     inner_maxiter: int = 200,
     m_lo_mv: Callable | None = None,
     m_lo_mv_dots: Callable | None = None,
+    a_lo_mv_dot: Callable | None = None,
     ab_fused: Callable | None = None,
     m_fused: Callable | None = None,
     check_every: int = 1,
@@ -138,6 +139,8 @@ def cg_refined(
             kw["m_fused"] = m_fused
         elif m_lo_mv_dots is not None:
             kw["m_mv_dots"] = m_lo_mv_dots  # cg-only fused-dot interface
+        if a_lo_mv_dot is not None and ab_fused is None:
+            kw["a_mv_dot"] = a_lo_mv_dot    # cg-only fused mv+<p,Ap>
         if check_every != 1:
             kw["check_every"] = check_every
         res = solver(
@@ -232,6 +235,7 @@ def cg_refined_tf(
     inner_maxiter: int = 200,
     m_lo_mv: Callable | None = None,
     m_lo_mv_dots: Callable | None = None,
+    a_lo_mv_dot: Callable | None = None,
     ab_fused: Callable | None = None,
     m_fused: Callable | None = None,
     check_every: int = 1,
@@ -285,6 +289,8 @@ def cg_refined_tf(
             kw["m_fused"] = m_fused
         elif m_lo_mv_dots is not None:
             kw["m_mv_dots"] = m_lo_mv_dots  # cg-only fused-dot interface
+        if a_lo_mv_dot is not None and ab_fused is None:
+            kw["a_mv_dot"] = a_lo_mv_dot    # cg-only fused mv+<p,Ap>
         if check_every != 1:
             kw["check_every"] = check_every
         res = solver(
