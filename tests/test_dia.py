@@ -195,10 +195,32 @@ def test_auto_container_gather_cap_fallback():
     assert isinstance(big, DIA)
     assert (big.to_scipy() != m).nnz == 0
 
-    # above the cap AND over the DIA storage budget: informative error
+    # above the cap AND over the DIA storage budget: the segmented
+    # banded-ELL executor takes over (round-5 arbitrary-CSR path —
+    # window-local gathers only, O(nnz) storage)
+    from tpusparse.sparse.bandell import BandedELL
+
+    seg = auto_container(
+        m, max_bands=16, gather_row_cap=n // 2, dia_budget_bytes=1024
+    )
+    assert isinstance(seg, BandedELL)
+    assert (seg.to_scipy() != m).nnz == 0
+
+    # ... and when the bandwidth exceeds even BandedELL's safe-window
+    # region (4*bw > window_cap), the combined refusal is an informative
+    # error naming both dead ends
+    import scipy.sparse as _sp
+
+    n_w = 200_002
+    wide_offsets = [0, 1, -1] + [
+        s * k * 9_000 for k in range(2, 9) for s in (1, -1)
+    ] + [n_w - 1, -(n_w - 1)]
+    w = _sp.diags(
+        [1.0] * len(wide_offsets), wide_offsets, shape=(n_w, n_w)
+    ).tocsr()
     with pytest.raises(ValueError, match="gather cap"):
         auto_container(
-            m, max_bands=16, gather_row_cap=n // 2, dia_budget_bytes=1024
+            w, max_bands=4, gather_row_cap=n_w // 2, dia_budget_bytes=1024
         )
 
 

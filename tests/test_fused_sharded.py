@@ -129,11 +129,16 @@ def test_driver_fused_sharded_end_to_end():
     reproduces the plain sharded result."""
     from tpusparse.bench.driver import solve_poisson
 
+    # rtol 1e-6, NOT 1e-7: the mixed-precision inner iterates in f32, and
+    # 1e-7 sits at the f32 attainable floor where the residual decays so
+    # slowly that iteration counts become pure reduction-order noise
+    # (measured 32 vs 39 on the z- vs (z,y)-mesh for the SAME math; both
+    # layouts take 29 at 1e-6 and 40 single-device at 1e-7)
     rep_f = solve_poisson(
-        12, 12, 48, rtol=1e-7, layout="padded", n_devices=8
+        12, 12, 48, rtol=1e-6, layout="padded", n_devices=8
     )
     rep_p = solve_poisson(
-        12, 12, 48, rtol=1e-7, layout="plain", n_devices=8
+        12, 12, 48, rtol=1e-6, layout="plain", n_devices=8
     )
     assert rep_f.reason > 0 and rep_p.reason > 0
     assert abs(rep_f.iters - rep_p.iters) <= 2

@@ -255,14 +255,22 @@ def preflight_sharded(fs: FusedSharded) -> bool:
 
 
 def fused_sharded_supported(hier) -> bool:
-    """Level-0 configuration the sharded fused cycle can run."""
+    """Level-0 configuration the sharded fused cycle can run.
+
+    Accepts the transfer both bare (StructuredTransfer) and in its
+    seam-local sharded wrapper (dist/seam.ShardedTransfer — what
+    ``shard_hierarchy`` installs since round 5; the wrapper keeps the
+    ``tT_apply``/``t_apply`` interface this cycle calls).  The wrapper
+    check is load-bearing: without it this gate silently returned False
+    on every sharded hierarchy and the fused kernels never ran."""
     from tpusparse.amg.transfer import StructuredTransfer
+    from tpusparse.dist.seam import ShardedTransfer
     from tpusparse.sparse.stencil import StarStencil3D
 
     lev = hier.levels[0]
     return (
         isinstance(lev.op, StarStencil3D)
-        and isinstance(lev.transfer, StructuredTransfer)
+        and isinstance(lev.transfer, (StructuredTransfer, ShardedTransfer))
         and hier.smoother in ("chebyshev", "richardson")
         and hier.degree == 2
         and jnp.dtype(lev.op.dtype) == jnp.float32
