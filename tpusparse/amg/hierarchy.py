@@ -227,6 +227,14 @@ def dense_coarse_inverse(op) -> jax.Array:
     dense = cols.T  # row i of the vmap output is A @ e_i
     zero_row = jnp.abs(dense).sum(axis=1) == 0
     dense = dense + jnp.diag(zero_row.astype(dense.dtype))
+    # invert in f64 when available: the coarsest Galerkin operator's
+    # conditioning grows with the number of triple products above it, and
+    # an f32 LU of a borderline matrix can emit inf/NaN entries that poison
+    # every V-cycle (observed as DIVERGED_NANORINF on the v5e at 300^3 with
+    # coarse_solve='lu').  One-time setup cost on a <= coarse_eq_limit
+    # matrix — negligible even where f64 is emulated.
+    if jax.config.jax_enable_x64 and dense.dtype != jnp.float64:
+        return jnp.linalg.inv(dense.astype(jnp.float64)).astype(dense.dtype)
     return jnp.linalg.inv(dense)
 
 

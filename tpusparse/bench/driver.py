@@ -697,10 +697,13 @@ def _setup_and_solve(
     # fused mv+<p,Ap> (PaddedStar.mv_dot): kills the CG shell's standalone
     # alpha-denominator reduction.  Round-3 measured net-neutral; round-5
     # itprof measured mvdot <= mv outright (halo sharing changed the kernel
-    # economics) — env-tunable for the on-chip A/B, cg-only.
+    # economics): the round-5 A/B measured a clear win (0.3021 vs 0.3063 s
+    # at 300^3, same convergence) — production default ON for cg;
+    # TPUSPARSE_MVDOT=0 opts out (the knob matters on hardware whose
+    # in-kernel cross-sublane reduction is pricier than a memory pass).
     a_lo_mv_dot = None
     if (
-        bool(_os2.environ.get("TPUSPARSE_MVDOT"))
+        _os2.environ.get("TPUSPARSE_MVDOT", "1") != "0"
         and ksp == "cg" and hasattr(op_lo, "mv_dot")
     ):
         a_lo_mv_dot = lambda op_lo: op_lo.mv_dot
