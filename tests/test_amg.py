@@ -140,6 +140,7 @@ def test_vcycle_symmetric():
     "n,smoother,max_iters",
     [(24, "chebyshev", 30), (30, "chebyshev", 30), (24, "richardson", 120)],
 )
+@pytest.mark.slow
 def test_cg_amg_poisson(n, smoother, max_iters):
     """CG+AMG must converge in O(10) iterations with the default chebyshev
     smoother (mesh-independent), still converge with the reference config's
@@ -164,6 +165,7 @@ def test_cg_amg_poisson(n, smoother, max_iters):
     assert linf < 10.0 / (n * n), linf  # O(h^2) with generous constant
 
 
+@pytest.mark.slow
 def test_cg_amg_iteration_count_mesh_independent():
     """The hallmark of multigrid: iterations must not grow with the mesh."""
     iters = []
@@ -176,6 +178,7 @@ def test_cg_amg_iteration_count_mesh_independent():
     assert iters[1] <= iters[0] + 5, iters
 
 
+@pytest.mark.slow
 def test_cg_amg_beats_plain_cg_iterations():
     g, _, op, b, _ = _poisson((24, 24, 24))
     hier = gamg_setup(op)
@@ -186,6 +189,7 @@ def test_cg_amg_beats_plain_cg_iterations():
     )
 
 
+@pytest.mark.slow
 def test_fmg_pass_reduces_residual_every_level():
     """FMG (nested iteration, -pc_mg_type full cycle shape): one pass must
     beat one plain V-cycle from zero, be linear in b, and run jitted."""

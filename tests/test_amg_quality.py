@@ -80,6 +80,7 @@ def _kappa_and_iters(n, smoother, degree, rtol=1e-8):
     return kappa, kappa_eff, int(res.iters), bound
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n", [9, 15])
 def test_chebyshev_kappa_small_and_iters_obey_bound(n):
     kappa, kappa_eff, iters, bound = _kappa_and_iters(n, "chebyshev", 2)
@@ -89,6 +90,7 @@ def test_chebyshev_kappa_small_and_iters_obey_bound(n):
     assert iters <= bound, (iters, bound, kappa_eff)
 
 
+@pytest.mark.slow
 def test_kappa_mesh_independent():
     """kappa must not grow materially with the mesh — the AMG signature."""
     _, k1, _, _ = _kappa_and_iters(9, "chebyshev", 2)
@@ -96,6 +98,7 @@ def test_kappa_mesh_independent():
     assert k2 < 2.5 * k1, (k1, k2)
 
 
+@pytest.mark.slow
 def test_richardson_parity_config_kappa_explains_iteration_gap():
     """The verbatim reference config's smoother (Richardson(1)+Jacobi) has
     a far worse preconditioned condition number than chebyshev ON THE SAME

@@ -53,6 +53,7 @@ def test_tentative_columns_normalized():
     np.testing.assert_allclose(col_norms, 1.0, rtol=1e-14)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("problem", ["lap1d", "poisson3d"])
 def test_unstructured_cg_amg_converges(problem):
     if problem == "lap1d":
@@ -76,6 +77,7 @@ def test_unstructured_cg_amg_converges(problem):
     )
 
 
+@pytest.mark.slow
 def test_unstructured_matches_structured_iterations():
     """On the structured Poisson problem both paths should behave similarly
     (same algorithm family), even though aggregates differ."""
@@ -100,6 +102,7 @@ def test_unstructured_matches_structured_iterations():
         int(rs.iters), int(ru.iters),
     )
 
+@pytest.mark.slow
 def test_aij_driver_matches_stencil_driver():
     """-mat_type aij end-to-end through the driver: same system, general
     CSR containers — must reproduce the structured path's solution (Linf
@@ -162,6 +165,7 @@ def test_validate_degrades_unsupported_known_values():
         load_options(["-ksp_type", "tfqmr"])
 
 
+@pytest.mark.slow
 def test_nsmooths_two_greedy():
     """-pc_gamg_agg_nsmooths 2 on the greedy path (round-4 verdict item 7):
     P = (I - omega D^-1 A)^2 T, Galerkin built from the SAME explicit P,

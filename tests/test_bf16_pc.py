@@ -9,8 +9,10 @@ from tpusparse.amg.hierarchy import cast_hierarchy
 from tpusparse.grid.grid3d import Grid3D
 from tpusparse.grid.poisson import poisson_stencil
 from tpusparse.solve import cg
+import pytest
 
 
+@pytest.mark.slow
 def test_bf16_vcycle_preconditions():
     grid = Grid3D(24, 24, 24)
     op, b, exact = poisson_stencil(grid, dtype=np.float32)
@@ -31,6 +33,7 @@ def test_bf16_vcycle_preconditions():
     )
 
 
+@pytest.mark.slow
 def test_driver_bf16_default_end_to_end():
     from tpusparse.bench.driver import solve_poisson
 

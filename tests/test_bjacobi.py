@@ -15,6 +15,7 @@ from tpusparse.amg import AMGParams, vcycle
 from tpusparse.amg.unstructured import gamg_setup_unstructured
 from tpusparse.solve import cg
 from tpusparse.solve.bjacobi import BlockJacobi
+import pytest
 
 
 def _coupled_system(m=14, bs=4, seed=0):
@@ -58,6 +59,7 @@ def test_blockjacobi_ragged_tail():
     assert np.all(np.isfinite(z))
 
 
+@pytest.mark.slow
 def test_bjacobi_vcycle_beats_point_jacobi():
     a = _coupled_system()
     b = jnp.asarray(np.sin(np.arange(a.n_rows) * 0.37))
@@ -78,6 +80,7 @@ def test_bjacobi_vcycle_beats_point_jacobi():
     assert it_block < it_point, (it_block, it_point)
 
 
+@pytest.mark.slow
 def test_from_tridiag_matches_host_build():
     """Structured device-side block build == host CSR build on the SAME
     matrix (poisson_stencil and assemble_poisson produce the identical
@@ -101,6 +104,7 @@ def test_from_tridiag_matches_host_build():
         )
 
 
+@pytest.mark.slow
 def test_structured_bjacobi_coarse_level_parity():
     """Every hierarchy level (StarStencil3D fine + VarStencil27 Galerkin
     coarse) carries blocks equal to the host build from its own CSR form."""
@@ -126,6 +130,7 @@ def test_structured_bjacobi_coarse_level_parity():
         )
 
 
+@pytest.mark.slow
 def test_structured_line_bjacobi_beats_point_on_anisotropy():
     """x-line blocks (bs = nx) on a strongly x-coupled operator: the
     textbook line-relaxation win — fewer CG+AMG iterations than point
@@ -203,6 +208,7 @@ def test_pcr_line_jacobi_exact_vs_dense_inverse():
     )
 
 
+@pytest.mark.slow
 def test_from_bands_reroutes_tridiagonal_past_dense_cap(monkeypatch):
     """Past the dense entry cap, tridiagonal blocks build the O(n log bs)
     PCR form; non-tridiagonal blocks raise (shrink bs) instead of OOMing."""
@@ -245,6 +251,7 @@ def test_from_bands_reroutes_tridiagonal_past_dense_cap(monkeypatch):
         BlockJacobi.from_bands(d, {2: jnp.asarray(sup)}, bs)
 
 
+@pytest.mark.slow
 def test_build_reroutes_tridiagonal_past_dense_cap(monkeypatch):
     """The host-CSR build takes the same PCR reroute."""
     from tpusparse.solve.bjacobi import PCRLineJacobi
@@ -264,6 +271,7 @@ def test_build_reroutes_tridiagonal_past_dense_cap(monkeypatch):
     np.testing.assert_allclose(z, want, rtol=1e-11)
 
 
+@pytest.mark.slow
 def test_xline_mode_coarsens_with_the_grid(monkeypatch):
     """bs = fine nx is x-LINE mode: every level smooths its own lines
     (level bs = level nx), and the 27-point coarse levels' non-+-1

@@ -130,6 +130,7 @@ def test_cg_hostloop_preconditioned():
     assert linf < 5e-2
 
 
+@pytest.mark.slow
 def test_ksp_norm_type_variants():
     """-ksp_norm_type (round-4 verdict item 7): preconditioned uses
     sqrt(<r,z>) as the test quantity (PETSc CG's own default norm); none

@@ -7,6 +7,7 @@ import scipy.sparse as sp
 
 from tpusparse.solve import cg, chebyshev
 from tpusparse.solve.cg import ConvergedReason
+import pytest
 
 
 def _lap1d(n):
@@ -74,6 +75,7 @@ def test_chebyshev_negative_definite_pair():
     np.testing.assert_allclose(np.asarray(res.x), x_ref, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_chebyshev_via_driver_gamg():
     """-ksp_type chebyshev with the GAMG V-cycle: multigrid-driven
     Chebyshev (no dots on the critical path except the convergence
@@ -98,6 +100,7 @@ def test_chebyshev_history_and_maxiter():
     assert h[0] > 0 and (h[1 : int(res.iters) + 1] > 0).all()
 
 
+@pytest.mark.slow
 def test_chebyshev_mixed_inner():
     """chebyshev as the INNER solver of mixed-precision defect correction
     (the production wrapper accepts any solver with the cg contract)."""

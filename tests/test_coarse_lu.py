@@ -45,6 +45,7 @@ def test_single_level_lu_is_exact_solve():
     assert float(jnp.abs(r).max()) < 1e-9 * float(jnp.abs(b).max())
 
 
+@pytest.mark.slow
 def test_lu_cuts_or_matches_jacobi_iterations():
     """CG+GAMG with the lu coarse solve converges in <= the iterations of
     the jacobi coarse solve (exact coarsest correction)."""
@@ -66,6 +67,7 @@ def test_lu_cuts_or_matches_jacobi_iterations():
     assert all(l.coarse_inv is None for l in hier.levels[:-1])
 
 
+@pytest.mark.slow
 def test_unstructured_lu():
     """The aij/geo hierarchy honors coarse_solve='lu' too."""
     from tpusparse.amg.unstructured import gamg_setup_unstructured
@@ -84,6 +86,7 @@ def test_unstructured_lu():
     assert res.reason > 0
 
 
+@pytest.mark.slow
 def test_padded_layout_degrades_with_warning():
     """The padded/fused layout keeps pad columns at every level — lu
     degrades to jacobi with a warning instead of building a giant dense."""

@@ -6,6 +6,7 @@ import scipy.sparse as sp
 
 from tpusparse.sparse.coo import COO
 from tpusparse.sparse.csr import HostCSR
+import pytest
 
 
 def _rand(m, n, density, seed):
@@ -15,6 +16,7 @@ def _rand(m, n, density, seed):
     return HostCSR.from_scipy(a)
 
 
+@pytest.mark.slow
 def test_mv_matches_csr():
     a = _rand(120, 90, 0.07, 0)
     coo = COO.from_csr(a)

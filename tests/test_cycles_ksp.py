@@ -10,6 +10,7 @@ from tpusparse.grid.grid3d import Grid3D
 from tpusparse.grid.poisson import poisson_stencil
 from tpusparse.solve import cg
 from tpusparse.solve.simple import preonly, richardson
+import pytest
 
 
 def _system(n=18):
@@ -19,6 +20,7 @@ def _system(n=18):
     return op, b, exact, hier
 
 
+@pytest.mark.slow
 def test_wcycle_converges_at_least_as_fast():
     op, b, exact, hier = _system()
     rv = cg(op.mv, b, rtol=1e-6, maxiter=200, m_mv=lambda r: vcycle(hier, r))
@@ -30,6 +32,7 @@ def test_wcycle_converges_at_least_as_fast():
     )
 
 
+@pytest.mark.slow
 def test_richardson_with_mg_is_a_solver():
     """Multigrid-as-a-solver: Richardson + V-cycle converges standalone."""
     op, b, exact, hier = _system()
@@ -44,6 +47,7 @@ def test_richardson_with_mg_is_a_solver():
     assert linf < 5e-2
 
 
+@pytest.mark.slow
 def test_richardson_diverges_reported():
     op, b, _e, _h = _system(12)
     # unpreconditioned undamped Richardson on a stiff operator blows up
@@ -51,6 +55,7 @@ def test_richardson_diverges_reported():
     assert int(res.reason) < 0
 
 
+@pytest.mark.slow
 def test_preonly_applies_pc_once():
     op, b, _e, hier = _system(12)
     res = preonly(op.mv, b, m_mv=lambda r: vcycle(hier, r))

@@ -128,6 +128,7 @@ def _solve_iters(a_sp, hier, rtol=1e-8):
     return int(res.iters)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n", [3000, 24000])
 def test_periodic_wrap_solve_mesh_independent(n):
     """Wrap-band Laplacian: the geo path refuses it (infer_grid3d fails);
@@ -142,6 +143,7 @@ def test_periodic_wrap_solve_mesh_independent(n):
     assert set(tm) >= {"rho", "galerkin"}
 
 
+@pytest.mark.slow
 def test_high_order_1d_solve():
     """4th-order stencil: NOT an M-matrix (positive off-diagonals), so
     SA contracts more slowly and the f32 floor binds earlier — gate at
@@ -153,6 +155,7 @@ def test_high_order_1d_solve():
     assert _solve_iters(a_sp, hier, rtol=1e-6) <= 80
 
 
+@pytest.mark.slow
 def test_poisson3d_banded_vs_greedy_quality():
     """On the 3-D Poisson matrix itself (treated as a generic banded
     matrix), iteration counts must stay within 3x of the greedy-Vanek
@@ -174,6 +177,7 @@ def test_poisson3d_banded_vs_greedy_quality():
     assert it_dev <= max(3 * it_greedy, 30), (it_dev, it_greedy)
 
 
+@pytest.mark.slow
 def test_auto_routes_deviceless_nongrid_to_banded():
     """gamg_setup_unstructured(a=None, fine_op=<non-grid DIA>) used to
     raise; 'auto' now routes it to the banded device setup."""
@@ -190,6 +194,7 @@ def test_auto_routes_deviceless_nongrid_to_banded():
     assert _solve_iters(a_sp, hier) <= 40
 
 
+@pytest.mark.slow
 def test_explicit_banded_aggregation_from_host_csr():
     from tpusparse.amg.deviceagg import SegTransfer as _ST
     from tpusparse.amg.unstructured import gamg_setup_unstructured

@@ -34,6 +34,7 @@ def test_dia_roundtrip_and_mv():
                                rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_dia_rectangular_and_rmv():
     rng = np.random.default_rng(1)
     s = sp.random(40, 23, density=0.2, random_state=3, format="csr")
@@ -116,6 +117,7 @@ def test_hybrid_dia_no_remainder_when_banded():
                                a.to_scipy() @ np.asarray(x), rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_unstructured_auto_uses_hybrid_on_wide_levels():
     """The Galerkin coarse level at 16^3 occupies 273 diagonals — auto must
     pick HybridDIA there (was: full-ELL gather fallback)."""

@@ -41,6 +41,7 @@ def _random_dia(n, offsets, seed=0):
         (6000, (-1, 0, 1, 2, 3, 5, 8, 13)),        # asymmetric cluster
     ],
 )
+@pytest.mark.slow
 def test_kernel_matches_dia_mv(n, offsets):
     bands = _random_dia(n, offsets)
     x = np.random.default_rng(1).standard_normal(n).astype(np.float32)

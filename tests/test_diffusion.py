@@ -10,6 +10,7 @@ from tpusparse.amg import AMGParams, gamg_setup, vcycle
 from tpusparse.grid.diffusion import assemble_diffusion, default_kappa
 from tpusparse.grid.grid3d import Grid3D
 from tpusparse.solve import cg
+import pytest
 
 
 def test_stencil_matches_csr():
@@ -32,6 +33,7 @@ def test_operator_is_symmetric_negative_definite():
     assert (w < -1e-12).sum() >= grid.n - 1
 
 
+@pytest.mark.slow
 def test_amg_solves_high_contrast():
     """CG + GAMG on a 100x-contrast coefficient field: converges in a
     bounded number of iterations and matches the sparse direct solve."""
@@ -65,6 +67,7 @@ def test_unpinned_nullspace_is_constant():
     np.testing.assert_allclose(a.mv(ones), 0.0, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_cli_problem_diffusion(capsys):
     """-problem diffusion through the full driver protocol: the variable-
     coefficient second problem family with the ALGEBRAIC manufactured gate
@@ -88,6 +91,7 @@ def test_cli_problem_diffusion(capsys):
     assert side["linf_error"] < 1e-7  # algebraic gate (rtol 1e-9 solve)
 
 
+@pytest.mark.slow
 def test_sharded_variable_coefficient_solve():
     """The variable-coefficient operator (VarStencil27, 27 coefficient
     fields) sharded over the 8-device mesh: GSPMD halo-exchanges every

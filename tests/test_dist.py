@@ -38,6 +38,7 @@ def test_sharded_stencil_mv_matches():
     np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-13, atol=1e-13)
 
 
+@pytest.mark.slow
 @requires_multi
 @pytest.mark.parametrize("n_dev", [2, 8])
 def test_sharded_cg_amg_solve_matches(n_dev):
@@ -90,6 +91,7 @@ def test_custom_mesh_shape():
     )
 
 
+@pytest.mark.slow
 def test_driver_multidevice_mixed_end_to_end():
     """Full driver path with n_devices=8 and mixed precision: exercises the
     sharded op/hierarchy placement, the f32 twin, and the defect-correction

@@ -95,6 +95,7 @@ def test_sharded_gmres_nonsymmetric():
                                atol=1e-7)
 
 
+@pytest.mark.slow
 def test_sharded_unstructured_cg_gamg_iteration_parity():
     """The VERDICT item-3 gate: sharded general-matrix CG+GAMG matches the
     single-device solve iteration-for-iteration."""
@@ -190,6 +191,7 @@ def test_dist_hybrid_dia_matches_host():
     )
 
 
+@pytest.mark.slow
 def test_all_levels_sharded_hierarchy_parity():
     """Every level above the replication threshold block-row-sharded
     (DistDIA/DistHybridDIA), transfers sharded — iteration-for-iteration

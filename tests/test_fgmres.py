@@ -93,6 +93,7 @@ def test_fgmres_spd_matches_cg_solution():
     )
 
 
+@pytest.mark.slow
 def test_fgmres_with_vcycle_preconditioner():
     """FGMRES wrapping the AMG V-cycle — the production pairing for
     variable preconditioners (the V-cycle with chebyshev smoothing is a

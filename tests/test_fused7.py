@@ -36,6 +36,7 @@ GW = jnp.float32(0.243)
 G2 = jnp.float32(0.519)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mode", MODES)
 @pytest.mark.parametrize("shape", [(12, 12, 12), (40, 11, 13)])
 def test_fused_matches_xla_reference(mode, shape):
@@ -68,6 +69,7 @@ def test_fused_matches_xla_reference(mode, shape):
             )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mode", ["cheb", "descent", "ascent"])
 @pytest.mark.parametrize("shape", [(32, 12, 12), (30, 9, 10)])
 def test_fused_grid_paths(mode, shape):
@@ -86,6 +88,7 @@ def test_fused_grid_paths(mode, shape):
         )
 
 
+@pytest.mark.slow
 def test_mvdot_mode():
     """mvdot: y = A x plus the fused <x, A x> partial-sum output."""
     shape = (24, 11, 13)
@@ -101,6 +104,7 @@ def test_mvdot_mode():
     assert abs(float(pap) - want) <= 1e-5 * abs(want)
 
 
+@pytest.mark.slow
 def test_cg_with_mv_dot_matches_plain():
     shape = (24, 12, 12)
     pop, x, b_p, d = _padded_system(shape)

@@ -28,6 +28,7 @@ def _setup(n=24, smoother="chebyshev", backend="interpret"):
     return pop, hier, pad_field(b.astype(jnp.float32))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("smoother", ["chebyshev", "richardson"])
 @pytest.mark.parametrize("backend", ["interpret", "xla"])
 def test_fused_cycle_matches_vcycle(smoother, backend):
@@ -42,6 +43,7 @@ def test_fused_cycle_matches_vcycle(smoother, backend):
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("gamma", [1, 2])
 def test_fused_cycle_cg_iteration_parity(gamma):
     pop, hier, b_p = _setup(backend="interpret")
@@ -57,6 +59,7 @@ def test_fused_cycle_cg_iteration_parity(gamma):
     assert abs(int(r_ref.iters) - int(r_fused.iters)) <= 1
 
 
+@pytest.mark.slow
 def test_bf16_coarse_coefs_iteration_parity():
     """cast_coarse_coefs halves coarse operator traffic without changing
     convergence (vectors stay f32 — unlike the full-hierarchy bf16 cast)."""
@@ -74,6 +77,7 @@ def test_bf16_coarse_coefs_iteration_parity():
     assert abs(int(r1.iters) - int(r2.iters)) <= 1
 
 
+@pytest.mark.slow
 def test_unsupported_falls_back():
     """degree != 2 isn't fused — must silently use the standard cycle."""
     grid = Grid3D(18, 18, 18)
@@ -89,6 +93,7 @@ def test_unsupported_falls_back():
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("smoother", ["richardson", "chebyshev"])
 def test_fused_cycle_degree1_matches_plain(smoother):
     """The degree-1 composite modes (descent1/ascent1 — the verbatim
@@ -124,6 +129,7 @@ def test_fused_cycle_degree1_matches_plain(smoother):
     assert np.abs(z_f_c - z_p).max() < 5e-5 * scale
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("smoother", ["chebyshev", "richardson"])
 @pytest.mark.parametrize("backend", ["interpret", "xla"])
 def test_fused_cycle_dots(smoother, backend):
@@ -147,6 +153,7 @@ def test_fused_cycle_dots(smoother, backend):
     )
 
 
+@pytest.mark.slow
 def test_cg_m_mv_dots_and_check_every_parity():
     """cg with the fused-dots preconditioner interface and check_every=2
     converges to the same answer in the same-or-one-extra iterations."""
@@ -171,6 +178,7 @@ def test_cg_m_mv_dots_and_check_every_parity():
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("backend", ["interpret", "xla"])
 def test_full_fusion_cg_parity(backend):
     """The full-fusion CG body (ab_fused = PaddedStar.cgmv, m_fused =
@@ -203,6 +211,7 @@ def test_full_fusion_cg_parity(backend):
     )
 
 
+@pytest.mark.slow
 def test_full_fusion_check_every_2():
     """check_every=2 composes with the fused body (the production lever
     for the dynamic-loop fixed cost)."""

@@ -63,6 +63,7 @@ def test_stacked_layout_roundtrip_and_halo():
     assert (exn[0, :F] == 0).all() and (exn[3, -F:] == 0).all()
 
 
+@pytest.mark.slow
 def test_sharded_fused_cycle_matches_plain_cycle():
     """vcycle_fused_sharded == plain vcycle on the same (sharded)
     hierarchy, to f32 rounding."""
@@ -78,6 +79,7 @@ def test_sharded_fused_cycle_matches_plain_cycle():
     assert np.abs(zp - zf).max() < 2e-5 * scale
 
 
+@pytest.mark.slow
 def test_sharded_fused_cg_iteration_parity():
     """CG+GAMG with the fused-sharded preconditioner: same iteration count
     as the plain sharded cycle and as 1-device, same solution."""
@@ -100,6 +102,7 @@ def test_sharded_fused_cg_iteration_parity():
     assert len(res_fused.x.sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_pinned_origin_only_on_first_shard():
     """The pin lives at global (0,0,0): sharding must reproduce the pinned
     operator's cycle exactly (global-z masking in the kernel)."""
@@ -123,6 +126,7 @@ def test_indivisible_nz_rejected():
         FusedSharded.build(op, mesh, interpret=True)
 
 
+@pytest.mark.slow
 def test_driver_fused_sharded_end_to_end():
     """solve_poisson(layout='padded', n_devices=8): the driver routes the
     sharded solve through the fused kernels (interpret mode on CPU) and

@@ -111,6 +111,7 @@ def test_geo_transfer_matches_factored():
     )
 
 
+@pytest.mark.slow
 def test_geo_hierarchy_solves_and_is_pure_dia():
     """aggregation='auto' on a grid-shaped CSR: every level pure DIA (no
     gather anywhere), CG+GAMG converges with structured-like iteration
@@ -131,6 +132,7 @@ def test_geo_hierarchy_solves_and_is_pure_dia():
     assert int(res.iters) < 40
 
 
+@pytest.mark.slow
 def test_geo_nondivisible_dims():
     """Ragged edges (dims not divisible by the block size) still produce a
     correct transfer pair (pad + crop paths)."""
@@ -201,6 +203,7 @@ def test_galerkin_probe_matches_scipy_ptap():
     assert diff.max() < 1e-10 * abs(ac).max()
 
 
+@pytest.mark.slow
 def test_gamg_setup_geo_device_resident_solves():
     """The device-resident geometric setup (no host coarse matrices)
     produces a hierarchy that solves to discretization accuracy with

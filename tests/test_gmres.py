@@ -72,6 +72,7 @@ def test_gmres_restart_cycles():
     assert np.linalg.norm(r) <= 1e-6 * np.linalg.norm(np.asarray(b))
 
 
+@pytest.mark.slow
 def test_gmres_on_spd_poisson_with_amg():
     """GMRES+AMG on the SPD reference problem converges like CG+AMG."""
     from tpusparse.amg import AMGParams, gamg_setup, vcycle

@@ -15,6 +15,7 @@ from tpusparse.grid.poisson import poisson_stencil
 from tpusparse.solve import cg
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("pin", [True, False])
 @pytest.mark.parametrize("mesh_shape", [None, (8, 1), (2, 4)])
 def test_halo_mv_matches_single_device(pin, mesh_shape):

@@ -16,6 +16,7 @@ def _system(n=24):
     return grid, op, b, exact
 
 
+@pytest.mark.slow
 def test_structured_solve_and_accessors():
     """CG+GAMG through the object API reaches the manufactured solution,
     and the Get* accessors mirror the result."""
@@ -45,6 +46,7 @@ def test_reuse_across_rhs():
     )
 
 
+@pytest.mark.slow
 def test_reuse_preconditioner_across_operators():
     """PETSc semantics: with reuse on, set_operators keeps the old PC; with
     reuse off, the next solve rebuilds it."""
@@ -66,6 +68,7 @@ def test_reuse_preconditioner_across_operators():
     assert res.converged and ksp_fresh._pc_state is not pc_a
 
 
+@pytest.mark.slow
 def test_initial_guess_nonzero():
     """x0 support (KSPSetInitialGuessNonzero): starting at the answer takes
     ~0 work; starting anywhere still converges to it."""
@@ -83,6 +86,7 @@ def test_initial_guess_nonzero():
     assert float(jnp.abs(res2.x - x_ref).max()) < 1e-6
 
 
+@pytest.mark.slow
 def test_flat_vectors_roundtrip():
     """Structured operators apply on the field view; flat RHS in -> flat
     solution out."""
@@ -94,6 +98,7 @@ def test_flat_vectors_roundtrip():
     assert float(jnp.abs(x.reshape(grid.shape) - exact).max()) < 2e-1
 
 
+@pytest.mark.slow
 def test_host_csr_general_path():
     """A HostCSR (or scipy matrix) routes through the unstructured GAMG
     setup + DIA containers and solves to the same answer."""
@@ -153,6 +158,7 @@ def test_requires_operator_and_solve():
         _ = ksp.iterations
 
 
+@pytest.mark.slow
 def test_reuse_swap_on_padded_layout():
     """Review finding: KSPSetReusePreconditioner + operator swap on the
     PADDED layout used to leave a padded hierarchy with an unpadded
@@ -183,6 +189,7 @@ def test_reuse_swap_on_padded_layout():
     )  # two independent rtol-1e-7 solves of the scaled pair
 
 
+@pytest.mark.slow
 def test_no_reuse_swap_invalidates_mat_solve_twin():
     """Review finding: reuse_preconditioner=False + operator swap must not
     leave mat_solve preconditioning the new operator with the OLD

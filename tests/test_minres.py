@@ -131,6 +131,7 @@ def test_minres_negative_definite_pc_autonegated():
                                atol=1e-10)
 
 
+@pytest.mark.slow
 def test_minres_via_driver_gamg():
     """-ksp_type minres through the Poisson driver with the GAMG V-cycle as
     the (SPD) preconditioner — KSP-family integration."""

@@ -65,6 +65,7 @@ def test_preonly_history():
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("precision", ["f64", "mixed"])
 def test_driver_monitor(precision):
     rep = solve_poisson(
@@ -86,6 +87,7 @@ def test_driver_monitor(precision):
         rep.residual_history
 
 
+@pytest.mark.slow
 def test_driver_richardson_and_preonly_ksp():
     """VERDICT item 5: -ksp_type richardson/preonly must run end-to-end."""
     rr = solve_poisson(
@@ -103,6 +105,7 @@ def test_driver_richardson_and_preonly_ksp():
     assert rp.linf_error < 5e-2
 
 
+@pytest.mark.slow
 def test_ksp_view():
     """-ksp_view: KSPView/PCView-parity configuration description."""
     rep = solve_poisson(12, rtol=1e-8, precision="mixed", view=True,

@@ -17,6 +17,7 @@ def _system(n=16):
     return grid, op, b, exact
 
 
+@pytest.mark.slow
 def test_cg_multi_matches_single_columns():
     """Each column of the block solve matches the single-RHS solver
     iteration-for-iteration (same mask-frozen recurrences)."""
@@ -39,6 +40,7 @@ def test_cg_multi_matches_single_columns():
         assert float(jnp.abs(multi.x[i] - single.x).max()) < 1e-10
 
 
+@pytest.mark.slow
 def test_cg_multi_frozen_columns_do_not_drift():
     """A trivially-easy column (converges immediately-ish) must be frozen
     while a hard column keeps iterating — no NaNs, exact early answer."""
@@ -57,6 +59,7 @@ def test_cg_multi_frozen_columns_do_not_drift():
     assert res.reason[1] > 0 and int(res.iters[1]) > 0
 
 
+@pytest.mark.slow
 def test_refined_multi_matches_single():
     """Block mixed-precision defect correction matches cg_refined per
     column (same outer sweeps, same solutions)."""
@@ -84,6 +87,7 @@ def test_refined_multi_matches_single():
         assert rel < 1e-8
 
 
+@pytest.mark.slow
 def test_ksp_mat_solve_structured():
     """KSP.mat_solve end-to-end: CG+GAMG block solve, per-column results,
     manufactured-solution accuracy on the first column."""
@@ -110,6 +114,7 @@ def test_ksp_mat_solve_requires_cg():
         ksp.mat_solve(jnp.stack([b]))
 
 
+@pytest.mark.slow
 def test_refined_multi_blowup_reports_dtol():
     """Regression (review finding): a diverging column in the block
     defect-correction loop must report DIVERGED_DTOL, not the positive

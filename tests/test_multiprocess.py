@@ -48,6 +48,7 @@ print(f"proc {info['process_index']}: OK total={float(total)}")
 """
 
 
+@pytest.mark.slow
 def test_two_process_distributed_psum(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with socket.socket() as s:
@@ -153,6 +154,7 @@ def _run_solve_procs(tmp_path, nproc: int, timeout: int):
         assert "SOLVE OK" in out
 
 
+@pytest.mark.slow
 def test_two_process_sharded_cg_gamg_solve(tmp_path):
     """A FULL CG+GAMG solve sharded across two OS processes — every CG dot
     is a cross-process allreduce and every fine-level apply halo-exchanges
@@ -161,6 +163,7 @@ def test_two_process_sharded_cg_gamg_solve(tmp_path):
     _run_solve_procs(tmp_path, 2, 420)
 
 
+@pytest.mark.slow
 def test_four_process_sharded_cg_gamg_solve(tmp_path):
     """The same solve across FOUR processes (8 devices on a (4,2) mesh):
     halo planes cross three process boundaries and the mesh spans both

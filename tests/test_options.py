@@ -109,6 +109,7 @@ def test_help_flag(capsys):
     assert "-config <file>" in out
 
 
+@pytest.mark.slow
 def test_per_level_smoother_specs():
     """-mg_levels_<N>_ksp_type / -mg_levels_<N>_ksp_max_it (PETSc per-level
     PCMG smoother configuration, round-4 verdict item 7): parsed into

@@ -53,6 +53,7 @@ def test_padded_interpret_matches_xla():
     np.testing.assert_allclose(y_i, y_x, rtol=1e-5, atol=1e-5 * scale)
 
 
+@pytest.mark.slow
 def test_padded_vcycle_preconditions_like_plain():
     """rho estimation sees different start vectors on padded fields, so the
     cycles differ in rounding-level details — compare as preconditioners:
@@ -85,6 +86,7 @@ def test_padded_cg_solve():
     assert linf < 5e-2
 
 
+@pytest.mark.slow
 def test_driver_padded_layout_end_to_end():
     from tpusparse.bench.driver import solve_poisson
 

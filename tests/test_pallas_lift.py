@@ -15,6 +15,7 @@ from tpusparse.amg.unstructured import (
 from tpusparse.grid.grid3d import Grid3D
 from tpusparse.grid.poisson import assemble_poisson
 from tpusparse.sparse.dia import DIA, HybridDIA, PallasDIA
+import pytest
 
 
 def _interpret_lift(hier):
@@ -49,6 +50,7 @@ def test_lift_passes_through_ineligible():
     assert lifted is hier  # no change -> same object
 
 
+@pytest.mark.slow
 def test_lifted_solve_converges():
     """Full CG + lifted-GAMG solve reaches the same iterate count."""
     from tpusparse.solve.cg import cg

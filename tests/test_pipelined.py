@@ -38,6 +38,7 @@ def test_matches_classic_cg_iterations():
     assert abs(int(r1.iters) - int(r2.iters)) <= 3
 
 
+@pytest.mark.slow
 def test_preconditioned_poisson():
     grid = Grid3D(24, 24, 24)
     op, b, exact = poisson_stencil(grid)
@@ -63,6 +64,7 @@ def test_divergence_reason_on_maxiter():
     assert int(res.reason) < 0
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n_dev", [8])
 def test_sharded_matches_single(n_dev):
     from tpusparse.dist import make_mesh, shard_hierarchy, shard_system
@@ -89,6 +91,7 @@ def test_sharded_matches_single(n_dev):
     )
 
 
+@pytest.mark.slow
 def test_driver_pipecg_all_precisions():
     """pipecg now runs as the mixed-precision inner solver too (VERDICT
     item 6): f64 recurrence scalars + residual replacement cure the f32

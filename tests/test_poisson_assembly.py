@@ -79,6 +79,7 @@ def test_pinned_row_col():
     assert b[0] == pytest.approx(scale * exact[0])
 
 
+@pytest.mark.slow
 def test_direct_solve_convergence_order():
     """Linf error vs manufactured solution must be O(h^2): the reference's
     primary correctness gate (src/main_ksp.cpp:120-129)."""

@@ -66,6 +66,7 @@ def test_anisotropic_extent_splits_exactly():
     np.testing.assert_allclose(np.asarray(b), b_ref, rtol=1e-14, atol=1e-15)
 
 
+@pytest.mark.slow
 def test_aij_driver_device_vs_host_assembly_identical():
     """The driver's two assembly routes produce the SAME solve: iteration
     count and error agree exactly (the operators are bit-identical)."""

@@ -20,6 +20,7 @@ def _ops(n):
     return op64, op32, b, exact
 
 
+@pytest.mark.slow
 def test_refined_reaches_f64_tolerance():
     op64, op32, b, exact = _ops(20)
     hier = gamg_setup(op32, AMGParams(coarse_eq_limit=30))

@@ -113,6 +113,7 @@ def test_bandell_refuses_unbounded_bandwidth():
         BandedELL.from_csr(HostCSR.from_scipy(m.tocsr()), window_cap=800)
 
 
+@pytest.mark.slow
 def test_ksp_auto_reorder_solves_permuted_poisson():
     """The verdict acceptance case: a randomly-permuted Poisson system
     through KSP with mat_reorder='auto' — solves on the general path,
@@ -208,6 +209,7 @@ def test_options_mat_reorder():
     assert o2.mat_reorder == "auto"
 
 
+@pytest.mark.slow
 def test_chunked_solve_matches_jitted():
     """The gather-safe chunked driver (KSP._solve_chunked — the >cap
     BandedELL route on real TPUs) produces the same solution as the

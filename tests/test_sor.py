@@ -61,6 +61,7 @@ def test_sor_sweep_matches_sequential_gauss_seidel():
     )
 
 
+@pytest.mark.slow
 def test_ssor_vcycle_is_a_symmetric_preconditioner():
     """B = vcycle(. ) with forward pre-smooth / reversed post-smooth must
     be symmetric (dense check) — the property CG needs."""
@@ -77,6 +78,7 @@ def test_ssor_vcycle_is_a_symmetric_preconditioner():
     np.testing.assert_allclose(bmat, bmat.T, rtol=1e-10, atol=1e-13)
 
 
+@pytest.mark.slow
 def test_sor_amg_cg_converges_comparable_to_chebyshev():
     grid = Grid3D(24, 24, 24)
     op, b, _ = poisson_stencil(grid)
@@ -111,6 +113,7 @@ def test_sor_rejected_where_uncolorable():
         gamg_setup(op, AMGParams(smoother="sor", bjacobi_bs=4))
 
 
+@pytest.mark.slow
 def test_sor_options_and_driver_e2e():
     from tpusparse.bench.driver import solve_poisson
     from tpusparse.config.options import load_options

@@ -64,6 +64,7 @@ def test_ritz_values_guards():
     np.testing.assert_allclose(one, [2.0])
 
 
+@pytest.mark.slow
 def test_driver_gamg_eigenvalues():
     """The production question this answers: kappa(M A) of the GAMG
     V-cycle, measured FROM THE SOLVE ITSELF (no dense oracle) — the

@@ -8,6 +8,7 @@ from tpusparse.amg import AMGParams
 from tpusparse.bench.driver import solve_poisson
 
 
+@pytest.mark.slow
 def test_standalone_ssor_beats_jacobi():
     """SSOR(1) is a stronger single-level PC than point Jacobi on the
     Poisson operator (classic result); both reach the same answer."""
@@ -18,6 +19,7 @@ def test_standalone_ssor_beats_jacobi():
     assert abs(sor.linf_error - jac.linf_error) < 1e-6  # same O(h^2)
 
 
+@pytest.mark.slow
 def test_standalone_ssor_mixed_precision():
     rep = solve_poisson(16, 16, 16, rtol=1e-8, pc="sor")
     assert rep.reason > 0

@@ -19,8 +19,10 @@ from tpusparse.grid.poisson import (
 from tpusparse.sparse.dia import DIA
 from tpusparse.sparse.starlift import star_lift
 from tpusparse.sparse.stencil import StarStencil3D
+import pytest
 
 
+@pytest.mark.slow
 def test_lift_device_assembly_matches_structured_oracle():
     grid = Grid3D(12, 10, 8)
     op_hi, op_lo, b, exact = poisson_dia_device(grid)
@@ -78,6 +80,7 @@ def test_lift_refuses_non_star_matrices():
     assert star_lift(v3, v3, grid.shape) is None
 
 
+@pytest.mark.slow
 def test_aij_driver_lifts_to_structured_iteration_parity():
     rep_aij = solve_poisson(16, mat_type="aij", rtol=1e-8, view=True)
     rep_str = solve_poisson(16, rtol=1e-8)
@@ -91,6 +94,7 @@ def test_aij_driver_lifts_to_structured_iteration_parity():
     assert rep_aij.mat_type == "aij"
 
 
+@pytest.mark.slow
 def test_aij_driver_structure_detect_off_keeps_general_path():
     rep = solve_poisson(16, mat_type="aij", rtol=1e-8,
                         structure_detect=False, view=True)
@@ -107,6 +111,7 @@ def test_aij_host_assembly_also_lifts():
     assert rep.reason > 0
 
 
+@pytest.mark.slow
 def test_aij_multi_device_via_lift():
     """Sharded aij through the driver: the star lift routes the assembled
     matrix onto the structured sharded pipeline (MPIAIJ-through-the-driver

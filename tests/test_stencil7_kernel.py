@@ -15,6 +15,7 @@ from tpusparse.grid.poisson import assemble_poisson, poisson_stencil
 from tpusparse.kernels.stencil7 import star7_mv_pallas, star7_supported
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("shape", [(8, 8, 8), (12, 6, 10), (20, 16, 16)])
 @pytest.mark.parametrize("pin", [True, False])
 def test_kernel_matches_xla_path(shape, pin):

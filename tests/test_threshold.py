@@ -21,6 +21,7 @@ from tpusparse.amg.hierarchy import (
 from tpusparse.grid.grid3d import Grid3D
 from tpusparse.grid.poisson import poisson_stencil
 from tpusparse.solve.cg import cg
+import pytest
 
 
 def _aniso_op(n=18, lz=0.1, dtype=np.float64):
@@ -48,6 +49,7 @@ def test_schedule_semicoarsens_strong_axis():
     assert len(sched) in (2, 3, 4), sched
 
 
+@pytest.mark.slow
 def test_filtered_galerkin_matches_scipy():
     """Probed A_c with the filtered-smoothing transfer == scipy P^T A P
     with the same explicit (filtered-smoothed) P."""
@@ -115,6 +117,7 @@ def _iters(op, b, hier):
     return int(res.iters)
 
 
+@pytest.mark.slow
 def test_threshold_beats_isotropic_on_anisotropic():
     """Contrast-100 anisotropic Poisson: the threshold schedule's
     semicoarsening must not lose to (and should beat) isotropic 3^3
@@ -130,6 +133,7 @@ def test_threshold_beats_isotropic_on_anisotropic():
     assert it_thr <= it_iso + 2, (it_thr, it_iso)
 
 
+@pytest.mark.slow
 def test_threshold_zero_unchanged():
     """threshold=0 (the reference config) produces a byte-identical
     hierarchy with or without the schedule plumbing."""
@@ -142,6 +146,7 @@ def test_threshold_zero_unchanged():
             assert l0.transfer.factor == l1.transfer.factor
 
 
+@pytest.mark.slow
 def test_sharded_hierarchy_shards_fop():
     """A threshold>0 hierarchy carries a FINE-grid-sized filtered smoothing
     operator (transfer.fop); shard_hierarchy must shard it like lev0.op —
@@ -191,6 +196,7 @@ def test_sharded_hierarchy_shards_fop():
     )
 
 
+@pytest.mark.slow
 def test_fused_cycle_supports_filtered_hierarchy():
     """-pc_gamg_threshold > 0 on the padded path keeps the FUSED fine level
     (round-4 verdict item 6): fused7's P-smoothing passes take per-axis
@@ -240,6 +246,7 @@ def test_fused_cycle_supports_filtered_hierarchy():
     assert abs(int(r_ref.iters) - int(r_fused.iters)) <= 1
 
 
+@pytest.mark.slow
 def test_fused7_flegs_interpret_matches_xla():
     """The Pallas kernels' flegs overrides == the XLA reference with a
     filtered operator, for every P-smoothing-bearing mode (interpret)."""

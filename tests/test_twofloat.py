@@ -7,6 +7,8 @@ import numpy as np
 
 from tpusparse.grid.grid3d import Grid3D
 from tpusparse.grid.poisson import poisson_stencil
+import pytest
+
 from tpusparse.utils.twofloat import (
     DF64,
     df_add,
@@ -59,6 +61,7 @@ def test_accumulation_beats_f32():
     assert err_df < err_32 / 10 or err_32 < 1e-13
 
 
+@pytest.mark.slow
 def test_stencil_df_matches_f64():
     """StarStencilDF apply == f64 apply to ~1e-13 relative."""
     grid = Grid3D(14, 12, 10)
@@ -80,6 +83,7 @@ def test_norm2():
     assert abs(n_df - n_ref) / n_ref < 1e-5  # convergence-gate accuracy
 
 
+@pytest.mark.slow
 def test_cg_refined_tf_poisson():
     """Full two-float defect correction reaches deep tolerances on CPU."""
     from tpusparse.amg import AMGParams, gamg_setup, vcycle

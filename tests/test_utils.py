@@ -5,6 +5,7 @@ import json
 import time
 
 import numpy as np
+import pytest
 
 
 def test_phase_timer_accumulates():
@@ -102,6 +103,7 @@ def test_weak_scaling_projection_model():
     assert proj[2]["projected_efficiency"] > 0.7
 
 
+@pytest.mark.slow
 def test_plots_from_records(tmp_path):
     from tpusparse.bench.plots import plot_efficiency, plot_scaling
 
